@@ -1,0 +1,208 @@
+"""Opacity assembly: k-tables + continua + particles -> (tau, w0, g) per bin.
+
+Re-implements ``OpticalProperties_compute_opacity`` and ``k_rorr``
+(``src/radtran/clima_radtran_types.f90:574-888``) as one fully vectorized
+function: the reference's OpenMP loop over wavelength bins and its per-layer
+interpolation loops become whole-tensor gathers; the doubled-grid
+``pair_reuse`` cache is unnecessary (everything is vectorized — recomputing a
+duplicated layer costs nothing extra on the VPU).
+
+Input convention matches the reference facade: ground-up layer arrays
+(index 0 = bottom). Output arrays are TOA-down (index 0 = top), as the
+reference's result arrays are.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..ops.rorr import k_rorr_mix
+from ..ops.interp import searchsorted_right
+from .data import OpticalData
+
+__all__ = ["compute_opacity"]
+
+
+def _interp_table_T(temp_grid, table, T):
+    """Interpolate rows of ``table`` (ntemp, nw) at temperatures T (nz,) with clamping.
+
+    Returns (nz, nw). Matches interpolate_Xsection (types.f90:890-917): T is
+    clamped to the grid range before linear interpolation in log10 space.
+    """
+    temp_grid = jnp.asarray(temp_grid)
+    table = jnp.asarray(table)
+    Tc = jnp.clip(T, temp_grid[0], temp_grid[-1])
+    idx = searchsorted_right(temp_grid, Tc)
+    t0 = temp_grid[idx]
+    t1 = temp_grid[idx + 1]
+    w = (Tc - t0) / (t1 - t0)
+    v0 = table[idx, :]
+    v1 = table[idx + 1, :]
+    return 10.0 ** (v0 + w[:, None] * (v1 - v0))
+
+
+def _interp_ktable(kt, log10P, T):
+    """Bilinear k-table interpolation -> k (nz, ngauss, nw), linear units.
+
+    Matches the clamped 2-D interpolation at types.f90:649-662.
+    """
+    Pg = jnp.asarray(kt.log10P)
+    Tg = jnp.asarray(kt.temp)
+    tab = jnp.asarray(kt.log10k)  # (G, P, T, W)
+    x = jnp.clip(log10P, Pg[0], Pg[-1])
+    y = jnp.clip(T, Tg[0], Tg[-1])
+    ix = searchsorted_right(Pg, x)
+    iy = searchsorted_right(Tg, y)
+    tx = ((x - Pg[ix]) / (Pg[ix + 1] - Pg[ix]))[None, :, None]
+    ty = ((y - Tg[iy]) / (Tg[iy + 1] - Tg[iy]))[None, :, None]
+    f00 = tab[:, ix, iy, :]
+    f10 = tab[:, ix + 1, iy, :]
+    f01 = tab[:, ix, iy + 1, :]
+    f11 = tab[:, ix + 1, iy + 1, :]
+    logk = (
+        f00 * (1 - tx) * (1 - ty)
+        + f10 * tx * (1 - ty)
+        + f01 * (1 - tx) * ty
+        + f11 * tx * ty
+    )  # (G, nz, W)
+    return jnp.moveaxis(10.0**logk, 0, 1)  # (nz, G, W)
+
+
+def _interp_particle(part, radii_z):
+    """Interpolate particle optical data at radii (nz,) -> (w0, qext, gt) (nz, nw).
+
+    Radii outside the table are clamped (interpolate_Particle, :947-983 — the
+    reference flags an error; we clamp, and the facade validates on request).
+    """
+    rg = jnp.asarray(part.radii)
+    r = jnp.clip(radii_z, rg[0], rg[-1])
+    idx = searchsorted_right(rg, r)
+    w = ((r - rg[idx]) / (rg[idx + 1] - rg[idx]))[:, None]
+
+    def gi(tab):
+        tab = jnp.asarray(tab)
+        return tab[idx, :] * (1 - w) + tab[idx + 1, :] * w
+
+    return gi(part.w0), gi(part.qext), gi(part.gt)
+
+
+def compute_opacity(op: OpticalData, P, T, densities, dz,
+                    pdensities=None, radii=None, custom=None):
+    """Assemble total optical properties.
+
+    Parameters (ground-up, layer index 0 = bottom):
+      P: (nz,) bars;  T: (nz,);  densities: (nz, ng) molecules/cm^3;
+      dz: (nz,) cm;  pdensities/radii: (nz, np);  custom: optional dict with
+      keys log10P (nPc, ascending, log10 dynes/cm^2), dtau_dz/w0/g0 (nPc, nw).
+
+    Returns dict with TOA-down arrays:
+      tau (nw, nbin, nz), w0 (nw, nbin, nz), g (nw, nz), tau_band (nw, nz).
+    """
+    nz = T.shape[0]
+    nw = op.nw
+    nbin = op.kset.nbin
+    log10P = jnp.log10(P)
+    cols = densities * dz[:, None]  # (nz, ng)
+
+    # --- k-distributions: per-species tau at each gauss point ---
+    tau_ks = []
+    for kt in op.k:
+        kcoef = _interp_ktable(kt, log10P, T)  # (nz, G, W)
+        tau_sp = kcoef * cols[:, kt.sp_ind][:, None, None]
+        tau_ks.append(jnp.transpose(tau_sp, (2, 0, 1)))  # (W, nz, G)
+    tau_ks = jnp.stack(tau_ks, axis=0)  # (nk, W, nz, G)
+
+    # --- RORR mixing (k_rorr, types.f90:780-888) ---
+    tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))  # (W, nz, G)
+
+    # --- Rayleigh scattering ---
+    tausg = jnp.zeros((nz, nw))
+    for xs in op.ray:
+        tausg = tausg + jnp.asarray(xs.xs_0d)[None, :] * cols[:, xs.sp_inds[0]][:, None]
+
+    # --- continuum absorption: CIA + photolysis + water continuum ---
+    taua = jnp.zeros((nz, nw))
+    for xs in op.cia:
+        j, jj = xs.sp_inds
+        if xs.dim == 0:
+            val = jnp.asarray(xs.xs_0d)[None, :]
+        else:
+            val = _interp_table_T(xs.temp, xs.log10_xs, T)
+        taua = taua + val * (densities[:, j] * densities[:, jj] * dz)[:, None]
+
+    for xs in op.pxs + op.axs:
+        j = xs.sp_inds[0]
+        if xs.dim == 0:
+            val = jnp.asarray(xs.xs_0d)[None, :]
+        else:
+            val = _interp_table_T(xs.temp, xs.log10_xs, T)
+        taua = taua + val * cols[:, j][:, None]
+
+    if op.cont is not None:
+        LH2O = op.cont.LH2O
+        xs_h2o = _interp_table_T(op.cont.temp, op.cont.log10_xs_H2O, T)
+        xs_for = _interp_table_T(op.cont.temp, op.cont.log10_xs_foreign, T)
+        foreign_col = jnp.sum(cols, axis=1) - cols[:, LH2O]
+        taua = taua + xs_h2o * (densities[:, LH2O] * cols[:, LH2O])[:, None]
+        taua = taua + xs_for * (densities[:, LH2O] * foreign_col)[:, None]
+
+    # --- custom optical properties (types.f90:429-572) ---
+    if custom is not None:
+        log10P_cgs = jnp.log10(P * 1.0e6)
+        grid = jnp.asarray(custom["log10P"])
+        idx = searchsorted_right(grid, jnp.clip(log10P_cgs, grid[0], grid[-1]))
+        w = ((jnp.clip(log10P_cgs, grid[0], grid[-1]) - grid[idx]) / (grid[idx + 1] - grid[idx]))[:, None]
+
+        def gi(tab):
+            tab = jnp.asarray(tab)
+            return tab[idx, :] * (1 - w) + tab[idx + 1, :] * w
+
+        tauc = gi(custom["dtau_dz"]) * dz[:, None]
+        w0c = gi(custom["w0"])
+        g0c = gi(custom["g0"])
+    else:
+        tiny = 1e-300 if jnp.zeros(()).dtype == jnp.float64 else 1e-37
+        tauc = jnp.full((nz, nw), tiny)
+        w0c = jnp.full((nz, nw), tiny)
+        g0c = jnp.full((nz, nw), tiny)
+    tausc = w0c * tauc
+
+    # --- particles ---
+    taup = jnp.zeros((nz, nw))
+    tausp = jnp.zeros((nz, nw))
+    gt_num = jnp.zeros((nz, nw))
+    if op.part and pdensities is not None:
+        for part in op.part:
+            j = part.p_ind
+            w0p, qextp, gtp = _interp_particle(part, radii[:, j])
+            taup_1 = qextp * const.pi * (radii[:, j] ** 2 * pdensities[:, j] * dz)[:, None]
+            tausp_1 = w0p * taup_1
+            taup = taup + taup_1
+            tausp = tausp + tausp_1
+            gt_num = gt_num + gtp * tausp_1
+
+    scat_tot = jnp.maximum(const.tau_min, tausp + tausg + tausc)
+    gt = gt_num / scat_tot + g0c * tausc / scat_tot
+    gt = jnp.minimum(gt, const.max_gt)
+
+    # --- combine per gauss point ---
+    # (W, nz) continua; tau_kmix (W, nz, G)
+    tau_cont = (tausg + taua + taup + tauc).T  # (W, nz)
+    tausum = (tausg + tausp + tausc).T  # (W, nz) scattering part
+    tau = tau_cont[:, :, None] + tau_kmix  # (W, nz, G)
+    w0 = jnp.where(
+        tau <= const.tau_min,
+        0.0,
+        jnp.minimum(const.max_w0, tausum[:, :, None] / tau),
+    )
+    wbin = jnp.asarray(op.kset.wbin)
+    tau_band = jnp.sum(tau * wbin[None, None, :], axis=-1)  # (W, nz)
+
+    # flip to TOA-down and put gauss before z: (W, G, nz)
+    tau = jnp.transpose(tau, (0, 2, 1))[:, :, ::-1]
+    w0 = jnp.transpose(w0, (0, 2, 1))[:, :, ::-1]
+    g = gt.T[:, ::-1]
+    tau_band = tau_band[:, ::-1]
+
+    return dict(tau=tau, w0=w0, g=g, tau_band=tau_band)

@@ -1,0 +1,134 @@
+"""Radiative transfer driver: per-channel two-stream over bins x gauss x zenith.
+
+Re-implements ``radiate`` (``src/radtran/clima_radtran_radiate.f90:7-196``)
+with the reference's OpenMP bin loop and nested gauss/zenith loops replaced by
+a single batched two-stream call over the full (zenith x bin x gauss) tensor,
+followed by weighted reductions. Output ordering matches the reference:
+flux arrays are ground-up (index 0 = surface).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..ops.twostream import two_stream_solar, two_stream_ir
+from ..physics.eqns import planck_fcn
+
+__all__ = ["radiate_ir", "radiate_solar", "integrate_fluxes"]
+
+
+def radiate_ir(channel_slice, freq_master, wbin, opr, surface_emissivity,
+               has_hard_surface, ir_tau_min, T_surface, T):
+    """IR channel RT. Returns dict(fup_a, fdn_a (nz+1, nw_ir) ground-up, tau_band).
+
+    ``channel_slice``: (ind_start, ind_end) static ints into the master grid.
+    ``opr``: dict from compute_opacity (TOA-down). ``T``: (nz,) ground-up.
+    """
+    i0, i1 = channel_slice
+    tau = opr["tau"][i0 : i1 + 1]  # (nw, G, nz)
+    w0 = opr["w0"][i0 : i1 + 1]
+    g = opr["g"][i0 : i1 + 1]
+    nw = tau.shape[0]
+    nz = tau.shape[-1]
+
+    freq = freq_master[i0 : i1 + 2]
+    avg_freq = 0.5 * (freq[:-1] + freq[1:])  # (nw,)
+
+    # bplanck (nw, nz+1): TOA-down layer temps then surface
+    T_toa_down = T[::-1]
+    bplanck = jnp.concatenate(
+        [
+            planck_fcn(avg_freq[:, None], T_toa_down[None, :]),
+            planck_fcn(avg_freq[:, None], T_surface * jnp.ones((1,))[None, :]),
+        ],
+        axis=1,
+    )  # (nw, nz+1)
+
+    emis = jnp.asarray(surface_emissivity)  # (nw,)
+    fup, fdn = two_stream_ir(
+        tau,
+        w0,
+        g[:, None, :],
+        emis[:, None],
+        has_hard_surface,
+        ir_tau_min,
+        bplanck[:, None, :],
+    )  # (nw, G, nz+1)
+
+    wbin = jnp.asarray(wbin)
+    fup_w = jnp.sum(fup * wbin[None, :, None], axis=1)  # (nw, nz+1) TOA-down
+    fdn_w = jnp.sum(fdn * wbin[None, :, None], axis=1)
+
+    # ground-up, (nz+1, nw)
+    return dict(
+        fup_a=fup_w[:, ::-1].T,
+        fdn_a=fdn_w[:, ::-1].T,
+        amean=jnp.zeros((nz + 1, nw)),
+        tau_band=opr["tau_band"][i0 : i1 + 1][:, ::-1].T,  # (nz, nw) ground-up
+    )
+
+
+def radiate_solar(channel_slice, freq_master, wavl_master, wbin, opr,
+                  surface_albedo, diurnal_fac, photons_sol, zenith_u, zenith_weights):
+    """Solar channel RT. Returns dict(fup_a, fdn_a, amean (nz+1, nw_sol) ground-up).
+
+    ``photons_sol``: (nw_sol,) mW/m^2/Hz (already photon_scale_factor-scaled).
+    ``zenith_u``/``zenith_weights``: (n_zen,).
+    """
+    i0, i1 = channel_slice
+    tau = opr["tau"][i0 : i1 + 1]  # (nw, G, nz)
+    w0 = opr["w0"][i0 : i1 + 1]
+    g = opr["g"][i0 : i1 + 1]
+    nw = tau.shape[0]
+    nz = tau.shape[-1]
+
+    zenith_u = jnp.asarray(zenith_u)
+    zw = jnp.asarray(zenith_weights)
+    alb = jnp.asarray(surface_albedo)  # (nw,)
+
+    # batch over (n_zen, nw, G)
+    amean, _, fup, fdn = two_stream_solar(
+        tau[None, :, :, :],
+        w0[None, :, :, :],
+        g[None, :, None, :],
+        zenith_u[:, None, None],
+        alb[None, :, None],
+    )  # (n_zen, nw, G, nz+1)
+
+    wbin = jnp.asarray(wbin)
+    # k-weights then zenith weights
+    fup_w = jnp.einsum("zwgk,g,z->wk", fup, wbin, zw)
+    fdn_w = jnp.einsum("zwgk,g,z->wk", fdn, wbin, zw)
+    am_w = jnp.einsum("zwgk,g,z->wk", amean, wbin, zw)
+
+    # scale by stellar flux (mW/m2/Hz) and diurnal factor
+    scale = (photons_sol * diurnal_fac)[:, None]
+    fup_w = fup_w * scale
+    fdn_w = fdn_w * scale
+    am_w = am_w * scale
+
+    # amean -> photons/cm^2/s (radiate.f90:167-179)
+    freq = freq_master[i0 : i1 + 2]
+    wavl = wavl_master[i0 : i1 + 2]
+    avg_freq = 0.5 * (freq[:-1] + freq[1:])
+    avg_wavl = 1.0e9 * const.c_light / avg_freq  # nm
+    am_w = am_w * (avg_freq / avg_wavl)[:, None]
+    am_w = am_w * (avg_wavl / (const.plank * const.c_light * 1.0e16) * (wavl[1:] - wavl[:-1]))[
+        :, None
+    ]
+
+    return dict(
+        fup_a=fup_w[:, ::-1].T,
+        fdn_a=fdn_w[:, ::-1].T,
+        amean=am_w[:, ::-1].T,
+        tau_band=opr["tau_band"][i0 : i1 + 1][:, ::-1].T,
+    )
+
+
+def integrate_fluxes(fup_a, fdn_a, freq_channel):
+    """Frequency-integrate per-bin fluxes -> mW/m^2 (radiate.f90:182-192)."""
+    dfreq = freq_channel[:-1] - freq_channel[1:]  # (nw,)
+    fup_n = jnp.sum(fup_a * dfreq[None, :], axis=1)
+    fdn_n = jnp.sum(fdn_a * dfreq[None, :], axis=1)
+    return fup_n, fdn_n
