@@ -1,0 +1,13 @@
+from .adiabat import (
+    AdiabatClimate,
+    RCE_SOLVE_HYBRJ_ONLY,
+    RCE_SOLVE_PTC_THEN_HYBRJ,
+    RCE_SOLVE_HYBRJ_THEN_PTC_THEN_HYBRJ,
+)
+
+__all__ = [
+    "AdiabatClimate",
+    "RCE_SOLVE_HYBRJ_ONLY",
+    "RCE_SOLVE_PTC_THEN_HYBRJ",
+    "RCE_SOLVE_HYBRJ_THEN_PTC_THEN_HYBRJ",
+]
