@@ -21,8 +21,10 @@ class ConvergedEarly(Exception):
     """Raised by a residual callback to stop with a custom convergence rule."""
 
     def __init__(self, x, fvec):
-        self.x = np.asarray(x)
-        self.fvec = np.asarray(fvec)
+        # MUST copy: x/fvec may alias MINPACK work buffers that are freed
+        # once the exception unwinds out of scipy.
+        self.x = np.array(x, dtype=np.float64, copy=True)
+        self.fvec = np.array(fvec, dtype=np.float64, copy=True)
 
 
 class SolverError(Exception):

@@ -1,0 +1,121 @@
+"""RCE tests (scope of tests/test_adiabat.f90:163-252 test_RCE)."""
+
+import numpy as np
+import pytest
+
+from clima_tpu.data import make_template_dir
+from clima_tpu.adiabat import (
+    AdiabatClimate,
+    RCE_SOLVE_PTC_THEN_HYBRJ,
+    RCE_SOLVE_HYBRJ_THEN_PTC_THEN_HYBRJ,
+)
+
+
+@pytest.fixture(scope="module")
+def template(tmp_path_factory):
+    root = tmp_path_factory.mktemp("template_rce")
+    # RCE test config: nz, 1 zenith angle (settings_RCE_test.yaml)
+    return make_template_dir(str(root), nz=20, n_zenith=1, surface_albedo=0.3)
+
+
+@pytest.fixture(scope="module")
+def c(template):
+    c = AdiabatClimate(
+        template["species"], template["settings"], template["star"], template["datadir"]
+    )
+    c.verbose = False
+    return c
+
+
+def P_i_earth(c):
+    P_i = np.full(c.sp.ng, 1.0e-15)
+    P_i[c.species_names.index("H2O")] = 270.0e6
+    P_i[c.species_names.index("CO2")] = 400.0
+    P_i[c.species_names.index("N2")] = 1.0e6
+    return P_i
+
+
+def test_make_profile_rc_radiative(c):
+    """All-radiative mask: prescribed T is preserved; only z integrated."""
+    P_i = P_i_earth(c)
+    c.convecting_with_below = np.zeros(c.nz, dtype=bool)
+    c._set_convecting_zones(c.convecting_with_below)
+    T_in = np.linspace(280.0, 200.0, c.nz + 1)
+    c.make_profile_rc(P_i, T_in)
+    np.testing.assert_allclose(c.T, T_in[1:], rtol=1e-12)
+    assert np.all(c.dz > 0)
+    np.testing.assert_allclose(np.sum(c.f_i, axis=1), 1.0, rtol=1e-8)
+
+
+def test_make_profile_rc_convective_matches_make_profile(c):
+    """All-convective mask reproduces make_profile's adiabat."""
+    P_i = P_i_earth(c)
+    c.make_profile(285.0, P_i)
+    # make_profile tropopause: only layers below P_trop convect
+    T_ref = c.T.copy()
+    P_ref = c.P.copy()
+
+    mask = np.ones(c.nz, dtype=bool)
+    c._set_convecting_zones(mask)
+    T_in = np.concatenate([[285.0], np.full(c.nz, -1.0)])
+    c.make_profile_rc(P_i, T_in)
+    np.testing.assert_allclose(c.P, P_ref, rtol=1e-10)
+    # the rc adiabat has no tropopause clamp, so compare only below the
+    # reference profile's tropopause (where T_ref > T_trop)
+    below = T_ref > c.T_trop + 0.5
+    assert np.sum(below) >= 2
+    np.testing.assert_allclose(c.T[below], T_ref[below], rtol=1e-4)
+
+
+def test_rce_converges(c):
+    P_i = P_i_earth(c)
+    T_surf = c.surface_temperature(P_i, T_guess=280.0)
+    T_guess = c.T.copy()
+    converged = c.RCE(P_i, T_surf, T_guess)
+    assert converged
+    # energy balance: max|F/F0| below tolerance at every active DOF
+    from clima_tpu.adiabat.rce import _objective, _flux_metrics
+
+    x = np.empty(len(c._inds_Tx))
+    x[0] = c.T_surf
+    for k in range(1, len(c._inds_Tx)):
+        x[k] = c.T[c._inds_Tx[k] - 2]
+    dFdt, _ = _objective(c, P_i, x)
+    _, max_ratio = _flux_metrics(c, dFdt)
+    assert max_ratio < 10 * c.xtol_rc
+    # physically sensible result
+    assert 150.0 < c.T_surf < 500.0
+    assert np.all(c.T > 100.0) and np.all(c.T < 500.0)
+
+
+def test_rce_strategy_2_warm_start(c):
+    """Strategy 2 (PTC->HYBRJ) seeded from the previous solution (warm start)."""
+    P_i = P_i_earth(c)
+    old_strategy = c.rce_solve_strategy
+    c.rce_solve_strategy = RCE_SOLVE_PTC_THEN_HYBRJ
+    try:
+        converged = c.RCE(
+            P_i, c.T_surf, c.T, convecting_with_below=c.convecting_with_below
+        )
+        assert converged
+    finally:
+        c.rce_solve_strategy = old_strategy
+
+
+def test_rce_custom_mixing_ratios(c):
+    """Custom prescribed-mix species through RCE (test_adiabat.f90:221-252)."""
+    P_i = P_i_earth(c)
+    P_custom = np.geomspace(2.0e6, 1.0, 20)
+    mix_custom = np.zeros((20, 2))
+    iCH4 = 0
+    mix_custom[:, 0] = 1.8e-6  # CH4
+    mix_custom[:, 1] = 1.0 - 1.8e-6  # N2 fills the rest
+    converged = c.RCE(
+        P_i, c.T_surf, c.T,
+        convecting_with_below=c.convecting_with_below,
+        sp_custom=["CH4", "N2"], P_custom=P_custom, mix_custom=mix_custom,
+    )
+    assert converged
+    iCH4 = c.species_names.index("CH4")
+    # CH4 follows its prescribed ratio relative to the dry portion
+    assert np.all(c.f_i[:, iCH4] > 0)
