@@ -1,0 +1,3 @@
+from .climate import Climate, load_evolve_file
+
+__all__ = ["Climate", "load_evolve_file"]

@@ -51,11 +51,16 @@ def bins_to_weights(bins):
 
 
 def planck_fcn(nu, T):
-    """Planck function, mW sr^-1 m^-2 Hz^-1 (clima_eqns.f90:64-73)."""
+    """Planck function, mW sr^-1 m^-2 Hz^-1 (clima_eqns.f90:64-73).
+
+    Factored as 2e3 * (h*nu/c) * (nu/c) * nu / expm1(h*nu/(kb*T)) so that no
+    intermediate (notably nu**3 ~ 1e43) overflows float32 on TPU.
+    """
     h = const.plank
     c = const.c_light
     kb = const.k_boltz_si
-    return 1.0e3 * ((2.0 * h * nu**3) / (c**2)) * (1.0 / (jnp.exp((h * nu) / (kb * T)) - 1.0))
+    x = (h * nu) / (kb * T)
+    return 2.0e3 * (h * nu / c) * (nu / c) * nu / jnp.expm1(x)
 
 
 def heat_capacity_shomate(coeffs, T):

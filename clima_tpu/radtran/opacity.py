@@ -24,11 +24,13 @@ from .data import OpticalData
 __all__ = ["compute_opacity"]
 
 
-def _interp_table_T(temp_grid, table, T):
-    """Interpolate rows of ``table`` (ntemp, nw) at temperatures T (nz,) with clamping.
+def _interp_table_T_log10(temp_grid, table, T):
+    """Interpolate log10-xsection rows at temperatures T (nz,) with clamping.
 
-    Returns (nz, nw). Matches interpolate_Xsection (types.f90:890-917): T is
-    clamped to the grid range before linear interpolation in log10 space.
+    Returns log10 values (nz, nw). Matches interpolate_Xsection
+    (types.f90:890-917): T clamped to the grid range, linear in log10 space.
+    Staying in log10 keeps f32 safe: CIA/continuum terms combine xs ~ 1e-46
+    with density products ~ 1e38, both outside float32 range individually.
     """
     temp_grid = jnp.asarray(temp_grid)
     table = jnp.asarray(table)
@@ -39,7 +41,11 @@ def _interp_table_T(temp_grid, table, T):
     w = (Tc - t0) / (t1 - t0)
     v0 = table[idx, :]
     v1 = table[idx + 1, :]
-    return 10.0 ** (v0 + w[:, None] * (v1 - v0))
+    return v0 + w[:, None] * (v1 - v0)
+
+
+def _safe_log10(x):
+    return jnp.log10(jnp.maximum(x, 1e-300 if x.dtype == jnp.float64 else 1e-37))
 
 
 def _interp_ktable(kt, log10P, T):
@@ -122,30 +128,38 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
         tausg = tausg + jnp.asarray(xs.xs_0d)[None, :] * cols[:, xs.sp_inds[0]][:, None]
 
     # --- continuum absorption: CIA + photolysis + water continuum ---
+    # binary terms (xsection * density * density * dz) are accumulated in
+    # log10 space: the factors individually over/underflow float32.
     taua = jnp.zeros((nz, nw))
     for xs in op.cia:
         j, jj = xs.sp_inds
         if xs.dim == 0:
-            val = jnp.asarray(xs.xs_0d)[None, :]
+            lgval = _safe_log10(jnp.asarray(xs.xs_0d))[None, :]
         else:
-            val = _interp_table_T(xs.temp, xs.log10_xs, T)
-        taua = taua + val * (densities[:, j] * densities[:, jj] * dz)[:, None]
+            lgval = _interp_table_T_log10(xs.temp, xs.log10_xs, T)
+        lgcol = (
+            _safe_log10(densities[:, j])
+            + _safe_log10(densities[:, jj])
+            + jnp.log10(dz)
+        )
+        taua = taua + 10.0 ** (lgval + lgcol[:, None])
 
     for xs in op.pxs + op.axs:
         j = xs.sp_inds[0]
         if xs.dim == 0:
             val = jnp.asarray(xs.xs_0d)[None, :]
         else:
-            val = _interp_table_T(xs.temp, xs.log10_xs, T)
+            val = 10.0 ** _interp_table_T_log10(xs.temp, xs.log10_xs, T)
         taua = taua + val * cols[:, j][:, None]
 
     if op.cont is not None:
         LH2O = op.cont.LH2O
-        xs_h2o = _interp_table_T(op.cont.temp, op.cont.log10_xs_H2O, T)
-        xs_for = _interp_table_T(op.cont.temp, op.cont.log10_xs_foreign, T)
+        lg_h2o = _interp_table_T_log10(op.cont.temp, op.cont.log10_xs_H2O, T)
+        lg_for = _interp_table_T_log10(op.cont.temp, op.cont.log10_xs_foreign, T)
         foreign_col = jnp.sum(cols, axis=1) - cols[:, LH2O]
-        taua = taua + xs_h2o * (densities[:, LH2O] * cols[:, LH2O])[:, None]
-        taua = taua + xs_for * (densities[:, LH2O] * foreign_col)[:, None]
+        lg_n_h2o = _safe_log10(densities[:, LH2O])
+        taua = taua + 10.0 ** (lg_h2o + (lg_n_h2o + _safe_log10(cols[:, LH2O]))[:, None])
+        taua = taua + 10.0 ** (lg_for + (lg_n_h2o + _safe_log10(foreign_col))[:, None])
 
     # --- custom optical properties (types.f90:429-572) ---
     if custom is not None:
