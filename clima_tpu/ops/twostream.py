@@ -15,12 +15,26 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .tridiag import tridiag_batched_last
+from .tridiag import tridiag_batched_last, tridiag_block2_pcr
 from .. import constants as const
 
-__all__ = ["two_stream_solar", "two_stream_ir"]
+__all__ = ["two_stream_solar", "two_stream_ir", "set_tridiag_method"]
 
 _SQRT3 = 3.0**0.5
+
+# "pcr" (2x2-block parallel cyclic reduction, ceil(log2 nz) vectorized sweeps
+# — the TPU path) or "thomas" (sequential scan reference). Block PCR matches
+# the dense solve to ~1e-13 on two-stream systems, stays stable for optically
+# thin layers (where scalar pivots vanish), and removes the 2*nz-step
+# sequential latency that dominates on accelerators.
+_TRIDIAG_METHOD = "pcr"
+
+
+def set_tridiag_method(name: str):
+    global _TRIDIAG_METHOD
+    if name not in ("pcr", "thomas"):
+        raise ValueError(name)
+    _TRIDIAG_METHOD = name
 
 
 def _es(lam, cap_gam, tau):
@@ -100,7 +114,10 @@ def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
     D = interleave(D_ev, D_od)
     E = interleave(E_ev, E_od)
 
-    sol = tridiag_batched_last(A, B, D, E)
+    if _TRIDIAG_METHOD == "pcr":
+        sol = tridiag_block2_pcr(A, B, D, E)
+    else:
+        sol = tridiag_batched_last(A, B, D, E)
     y1 = sol[..., 0::2]
     y2 = sol[..., 1::2]
     return y1, y2
