@@ -41,22 +41,50 @@ def _cumulative(old_bins, old_vals, xp):
     return F
 
 
+def _native_lib():
+    try:
+        from ..native.build import load
+
+        return load()
+    except Exception:
+        return None
+
+
+def _cptr(arr):
+    import ctypes
+
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
 def rebin(old_bins: np.ndarray, old_vals: np.ndarray, new_bins: np.ndarray) -> np.ndarray:
     """Conservatively rebin ``old_vals`` on edges ``old_bins`` to edges ``new_bins``.
 
-    Host (numpy) version. Mirrors futils ``rebin`` as exposed at
+    Host version. Mirrors futils ``rebin`` as exposed at
     ``clima/cython/futils.pyx:15-53``: the mean of the piecewise-constant
     function over each new bin; regions outside the old grid contribute zero.
+    Uses the native C++ merge-sweep (clima_tpu/native/futils.cpp) when
+    available, numpy otherwise; both are cross-checked in tests.
     """
-    old_bins = np.asarray(old_bins, dtype=np.float64)
-    old_vals = np.asarray(old_vals, dtype=np.float64)
-    new_bins = np.asarray(new_bins, dtype=np.float64)
+    old_bins = np.ascontiguousarray(old_bins, dtype=np.float64)
+    old_vals = np.ascontiguousarray(old_vals, dtype=np.float64)
+    new_bins = np.ascontiguousarray(new_bins, dtype=np.float64)
     if old_bins.ndim != 1 or new_bins.ndim != 1:
         raise ValueError("bins must be 1-D")
     if old_vals.shape[-1] != old_bins.shape[0] - 1:
         raise ValueError("old_vals must have len(old_bins)-1 values")
     if np.any(np.diff(old_bins) <= 0) or np.any(np.diff(new_bins) <= 0):
         raise ValueError("bin edges must be strictly increasing")
+
+    lib = _native_lib()
+    if lib is not None and old_vals.ndim == 1:
+        out = np.empty(len(new_bins) - 1)
+        status = lib.clima_rebin(
+            len(old_vals), _cptr(old_bins), _cptr(old_vals),
+            len(new_bins) - 1, _cptr(new_bins), _cptr(out),
+        )
+        if status == 0:
+            return out
+
     F = _cumulative(old_bins, old_vals, np)
     Fe = np.interp(np.clip(new_bins, old_bins[0], old_bins[-1]), old_bins, F)
     return np.diff(Fe) / np.diff(new_bins)
@@ -157,11 +185,21 @@ def inter2(xg: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
     The input grid must fully cover ``xg`` (callers guarantee this via addpnt
     sentinel points at 0 and +huge).
     """
-    xg = np.asarray(xg, dtype=np.float64)
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+    xg = np.ascontiguousarray(xg, dtype=np.float64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
     if x[0] > xg[0] or x[-1] < xg[-1]:
         raise ValueError("inter2: data grid does not cover target bins")
+
+    lib = _native_lib()
+    if lib is not None:
+        out = np.empty(len(xg) - 1)
+        status = lib.clima_inter2(
+            len(xg) - 1, _cptr(xg), _cptr(out), len(x), _cptr(x), _cptr(y)
+        )
+        if status == 0:
+            return out
+
     # cumulative integral of the piecewise-linear function at points x
     seg = 0.5 * (y[1:] + y[:-1]) * np.diff(x)
     F = np.concatenate([[0.0], np.cumsum(seg)])
