@@ -156,72 +156,79 @@ def tridiag_block2_pcr(a, b, c, d):
     #   L_k u_{k-1} + M_k u_k + U_k u_{k+1} = f_k
     # L_k = [[0, a_{2k}], [0, 0]],  U_k = [[0, 0], [c_{2k+1}, 0]]
     # M_k = [[b_{2k}, c_{2k}], [a_{2k+1}, b_{2k+1}]]
+    #
+    # Block components are stored as SEPARATE (..., m) arrays — a trailing
+    # (2, 2) axis would be padded to full (8, 128) TPU tiles (64x memory
+    # blow-up, observed as an HBM OOM at compile time).
     zeros = jnp.zeros(batch + (m,), dt)
-    L = jnp.stack(
-        [jnp.stack([zeros, a[..., 0::2]], -1), jnp.stack([zeros, zeros], -1)], -2
-    )  # (..., m, 2, 2)
-    U = jnp.stack(
-        [jnp.stack([zeros, zeros], -1), jnp.stack([c[..., 1::2], zeros], -1)], -2
-    )
-    M = jnp.stack(
-        [
-            jnp.stack([b[..., 0::2], c[..., 0::2]], -1),
-            jnp.stack([a[..., 1::2], b[..., 1::2]], -1),
-        ],
-        -2,
-    )
-    f = jnp.stack([d[..., 0::2], d[..., 1::2]], -1)  # (..., m, 2)
+    ones = jnp.ones(batch + (m,), dt)
 
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=dt), batch + (m, 2, 2))
+    L = (zeros, a[..., 0::2], zeros, zeros)  # (l00, l01, l10, l11)
+    U = (zeros, zeros, c[..., 1::2], zeros)
+    M = (b[..., 0::2], c[..., 0::2], a[..., 1::2], b[..., 1::2])
+    f = (d[..., 0::2], d[..., 1::2])
 
-    def shift_blocks(x, k, fill):
-        pad = jnp.broadcast_to(fill, x.shape[:-3] + (abs(k),) + x.shape[-2:])
-        if k > 0:
-            return jnp.concatenate([x[..., k:, :, :], pad], axis=-3)
-        return jnp.concatenate([pad, x[..., :k, :, :]], axis=-3)
+    def shift_t(t, k, fills):
+        """Shift each component of tuple t by k along the last axis."""
+        out = []
+        for x, fill in zip(t, fills):
+            pad = jnp.full(x.shape[:-1] + (abs(k),), fill, dt)
+            if k > 0:
+                out.append(jnp.concatenate([x[..., k:], pad], axis=-1))
+            else:
+                out.append(jnp.concatenate([pad, x[..., :k]], axis=-1))
+        return tuple(out)
 
-    def shift_vec(x, k):
-        pad = jnp.zeros(x.shape[:-2] + (abs(k), x.shape[-1]), dt)
-        if k > 0:
-            return jnp.concatenate([x[..., k:, :], pad], axis=-2)
-        return jnp.concatenate([pad, x[..., :k, :], ], axis=-2)
+    ZF = (0.0, 0.0, 0.0, 0.0)
+    IF = (1.0, 0.0, 0.0, 1.0)  # identity fill for M
 
     def inv2(Mx):
-        det = Mx[..., 0, 0] * Mx[..., 1, 1] - Mx[..., 0, 1] * Mx[..., 1, 0]
-        inv_det = 1.0 / det
-        out = jnp.stack(
-            [
-                jnp.stack([Mx[..., 1, 1], -Mx[..., 0, 1]], -1),
-                jnp.stack([-Mx[..., 1, 0], Mx[..., 0, 0]], -1),
-            ],
-            -2,
-        )
-        return out * inv_det[..., None, None]
+        m00, m01, m10, m11 = Mx
+        inv_det = 1.0 / (m00 * m11 - m01 * m10)
+        return (m11 * inv_det, -m01 * inv_det, -m10 * inv_det, m00 * inv_det)
 
-    mm = lambda A, B: jnp.einsum("...ij,...jk->...ik", A, B)
-    mv = lambda A, v: jnp.einsum("...ij,...j->...i", A, v)
+    def mm(A, B):
+        a00, a01, a10, a11 = A
+        b00, b01, b10, b11 = B
+        return (
+            a00 * b00 + a01 * b10,
+            a00 * b01 + a01 * b11,
+            a10 * b00 + a11 * b10,
+            a10 * b01 + a11 * b11,
+        )
+
+    def mv(A, v):
+        a00, a01, a10, a11 = A
+        v0, v1 = v
+        return (a00 * v0 + a01 * v1, a10 * v0 + a11 * v1)
+
+    def msub(A, B, C):
+        return tuple(x - y - z for x, y, z in zip(A, B, C))
+
+    def neg(A):
+        return tuple(-x for x in A)
 
     steps = max(1, math.ceil(math.log2(m)))
-    Z2 = jnp.zeros((1, 2, 2), dt)
-    I2 = jnp.eye(2, dtype=dt)[None]
     for s in range(steps):
         k = 1 << s
-        L_m = shift_blocks(L, -k, Z2)
-        U_m = shift_blocks(U, -k, Z2)
-        M_m = shift_blocks(M, -k, I2)
-        f_m = shift_vec(f, -k)
-        L_p = shift_blocks(L, +k, Z2)
-        U_p = shift_blocks(U, +k, Z2)
-        M_p = shift_blocks(M, +k, I2)
-        f_p = shift_vec(f, +k)
+        L_m = shift_t(L, -k, ZF)
+        U_m = shift_t(U, -k, ZF)
+        M_m = shift_t(M, -k, IF)
+        f_m = shift_t(f, -k, (0.0, 0.0))
+        L_p = shift_t(L, +k, ZF)
+        U_p = shift_t(U, +k, ZF)
+        M_p = shift_t(M, +k, IF)
+        f_p = shift_t(f, +k, (0.0, 0.0))
 
         alpha = mm(L, inv2(M_m))
         gamma = mm(U, inv2(M_p))
-        L_new = -mm(alpha, L_m)
-        U_new = -mm(gamma, U_p)
-        M_new = M - mm(alpha, U_m) - mm(gamma, L_p)
-        f_new = f - mv(alpha, f_m) - mv(gamma, f_p)
+        L_new = neg(mm(alpha, L_m))
+        U_new = neg(mm(gamma, U_p))
+        M_new = msub(M, mm(alpha, U_m), mm(gamma, L_p))
+        af = mv(alpha, f_m)
+        gf = mv(gamma, f_p)
+        f_new = (f[0] - af[0] - gf[0], f[1] - af[1] - gf[1])
         L, M, U, f = L_new, M_new, U_new, f_new
 
-    u = mv(inv2(M), f)  # (..., m, 2)
-    return u.reshape(batch + (n,))
+    u0, u1 = mv(inv2(M), f)  # each (..., m)
+    return jnp.stack([u0, u1], axis=-1).reshape(batch + (n,))
