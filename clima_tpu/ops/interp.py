@@ -12,7 +12,32 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["interp1d", "interp2d", "searchsorted_right"]
+__all__ = ["interp1d", "interp2d", "searchsorted_right", "hat_weights"]
+
+
+def hat_weights(grid, x):
+    """Linear-interpolation hat-basis weights, gather-free.
+
+    Returns W of shape ``x.shape + (len(grid),)`` with two adjacent nonzeros
+    per sample such that ``W @ values == interp(x, grid, values)`` for
+    ``x`` clamped to the grid range.
+
+    This turns every table interpolation into a small dense contraction —
+    on TPU a matmul/VPU reduction — instead of an XLA gather, which
+    serializes badly for many small indexed reads (the dominant cost of the
+    reference-style per-point interpolation when vmapped over columns).
+    """
+    grid = jnp.asarray(grid)
+    n = grid.shape[0]
+    xc = jnp.clip(x, grid[0], grid[-1])[..., None]
+    # boundary nodes get a virtual outer neighbor so their half-hat is flat
+    gl = jnp.concatenate([grid[:1] - 1.0, grid[:-1]])  # left neighbors
+    gr = jnp.concatenate([grid[1:], grid[-1:] + 1.0])  # right neighbors
+    up = (xc - gl) / (grid - gl)  # rising edge of the hat
+    down = (gr - xc) / (gr - grid)  # falling edge
+    w = jnp.clip(jnp.minimum(up, down), 0.0, 1.0)
+    # normalize to guard the sample-exactly-on-a-node double count
+    return w / jnp.sum(w, axis=-1, keepdims=True)
 
 
 def searchsorted_right(xs, x):

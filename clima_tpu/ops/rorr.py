@@ -29,21 +29,34 @@ def make_wxy(wbin):
 
 
 def _mix_pair(tau_mixed, tau_next, wxy, wbin_e):
-    """One RORR combine step: mix (..., nbin) with (..., nbin) -> (..., nbin)."""
+    """One RORR combine step: mix (..., nbin) with (..., nbin) -> (..., nbin).
+
+    TPU-native formulation: a variadic ``lax.sort`` carries the pair weights
+    along with the keys (no argsort + gather), and the conservative rebin
+    onto the fixed master weight edges is evaluated as
+    ``F(e) = sum_k tau_k * clip(e - lower_k, 0, w_k)`` at each static edge —
+    pure clipped reductions, no searchsorted/gather anywhere.
+    """
     nbin = tau_mixed.shape[-1]
     # pairwise sums, i (existing mix) slow axis, j (new species) fast axis
     tau_xy = (tau_mixed[..., :, None] + tau_next[..., None, :]).reshape(
         tau_mixed.shape[:-1] + (nbin * nbin,)
     )
-    order = jnp.argsort(tau_xy, axis=-1)
-    tau_sorted = jnp.take_along_axis(tau_xy, order, axis=-1)
-    w_sorted = jnp.take_along_axis(
-        jnp.broadcast_to(wxy, tau_xy.shape), order, axis=-1
-    )
-    # weights -> bin edges (weights_to_bins, clima_eqns.f90:43-54)
-    zeros = jnp.zeros_like(w_sorted[..., :1])
-    wxy_e = jnp.concatenate([zeros, jnp.cumsum(w_sorted, axis=-1)], axis=-1)
-    return rebin_jnp(wxy_e, tau_sorted, wbin_e)
+    w_b = jnp.broadcast_to(wxy, tau_xy.shape)
+    tau_sorted, w_sorted = jax.lax.sort((tau_xy, w_b), dimension=-1, num_keys=1)
+
+    # cumulative lower edge of each sorted source bin
+    cs = jnp.cumsum(w_sorted, axis=-1)
+    lower = cs - w_sorted
+
+    # cumulative integral F(e) of the piecewise-constant tau over weight
+    # space, evaluated at the nbin+1 master edges
+    Fs = [
+        jnp.sum(tau_sorted * jnp.clip(wbin_e[j] - lower, 0.0, w_sorted), axis=-1)
+        for j in range(wbin_e.shape[0])
+    ]
+    F = jnp.stack(Fs, axis=-1)  # (..., nbin+1)
+    return jnp.diff(F, axis=-1) / jnp.diff(wbin_e)
 
 
 def k_rorr_mix(tau_ks, wbin_e):

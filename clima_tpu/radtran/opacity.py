@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..ops.rorr import k_rorr_mix
-from ..ops.interp import searchsorted_right
+from ..ops.interp import hat_weights
 from .data import OpticalData
 
 __all__ = ["compute_opacity"]
@@ -29,19 +29,12 @@ def _interp_table_T_log10(temp_grid, table, T):
 
     Returns log10 values (nz, nw). Matches interpolate_Xsection
     (types.f90:890-917): T clamped to the grid range, linear in log10 space.
-    Staying in log10 keeps f32 safe: CIA/continuum terms combine xs ~ 1e-46
-    with density products ~ 1e38, both outside float32 range individually.
+    Gather-free (hat-basis matmul, ops.interp.hat_weights) and kept in log10
+    for f32 safety: CIA/continuum terms combine xs ~ 1e-46 with density
+    products ~ 1e38, both outside float32 range individually.
     """
-    temp_grid = jnp.asarray(temp_grid)
-    table = jnp.asarray(table)
-    Tc = jnp.clip(T, temp_grid[0], temp_grid[-1])
-    idx = searchsorted_right(temp_grid, Tc)
-    t0 = temp_grid[idx]
-    t1 = temp_grid[idx + 1]
-    w = (Tc - t0) / (t1 - t0)
-    v0 = table[idx, :]
-    v1 = table[idx + 1, :]
-    return v0 + w[:, None] * (v1 - v0)
+    W = hat_weights(jnp.asarray(temp_grid), T)  # (nz, ntemp)
+    return W @ jnp.asarray(table)  # (nz, nw)
 
 
 def _safe_log10(x):
@@ -51,28 +44,15 @@ def _safe_log10(x):
 def _interp_ktable(kt, log10P, T):
     """Bilinear k-table interpolation -> k (nz, ngauss, nw), linear units.
 
-    Matches the clamped 2-D interpolation at types.f90:649-662.
+    Matches the clamped 2-D interpolation at types.f90:649-662, expressed as
+    a hat-basis contraction: (nz, P)x(nz, T) weight matrices against the
+    (G, P, T, W) table — one MXU matmul instead of 4 XLA gathers.
     """
-    Pg = jnp.asarray(kt.log10P)
-    Tg = jnp.asarray(kt.temp)
+    Wp = hat_weights(jnp.asarray(kt.log10P), log10P)  # (nz, P)
+    Wt = hat_weights(jnp.asarray(kt.temp), T)  # (nz, T)
     tab = jnp.asarray(kt.log10k)  # (G, P, T, W)
-    x = jnp.clip(log10P, Pg[0], Pg[-1])
-    y = jnp.clip(T, Tg[0], Tg[-1])
-    ix = searchsorted_right(Pg, x)
-    iy = searchsorted_right(Tg, y)
-    tx = ((x - Pg[ix]) / (Pg[ix + 1] - Pg[ix]))[None, :, None]
-    ty = ((y - Tg[iy]) / (Tg[iy + 1] - Tg[iy]))[None, :, None]
-    f00 = tab[:, ix, iy, :]
-    f10 = tab[:, ix + 1, iy, :]
-    f01 = tab[:, ix, iy + 1, :]
-    f11 = tab[:, ix + 1, iy + 1, :]
-    logk = (
-        f00 * (1 - tx) * (1 - ty)
-        + f10 * tx * (1 - ty)
-        + f01 * (1 - tx) * ty
-        + f11 * tx * ty
-    )  # (G, nz, W)
-    return jnp.moveaxis(10.0**logk, 0, 1)  # (nz, G, W)
+    logk = jnp.einsum("zp,zt,gptw->zgw", Wp, Wt, tab)
+    return 10.0**logk  # (nz, G, W)
 
 
 def _interp_particle(part, radii_z):
@@ -81,15 +61,8 @@ def _interp_particle(part, radii_z):
     Radii outside the table are clamped (interpolate_Particle, :947-983 — the
     reference flags an error; we clamp, and the facade validates on request).
     """
-    rg = jnp.asarray(part.radii)
-    r = jnp.clip(radii_z, rg[0], rg[-1])
-    idx = searchsorted_right(rg, r)
-    w = ((r - rg[idx]) / (rg[idx + 1] - rg[idx]))[:, None]
-
-    def gi(tab):
-        tab = jnp.asarray(tab)
-        return tab[idx, :] * (1 - w) + tab[idx + 1, :] * w
-
+    W = hat_weights(jnp.asarray(part.radii), radii_z)  # (nz, nrad)
+    gi = lambda tab: W @ jnp.asarray(tab)
     return gi(part.w0), gi(part.qext), gi(part.gt)
 
 
@@ -164,14 +137,8 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
     # --- custom optical properties (types.f90:429-572) ---
     if custom is not None:
         log10P_cgs = jnp.log10(P * 1.0e6)
-        grid = jnp.asarray(custom["log10P"])
-        idx = searchsorted_right(grid, jnp.clip(log10P_cgs, grid[0], grid[-1]))
-        w = ((jnp.clip(log10P_cgs, grid[0], grid[-1]) - grid[idx]) / (grid[idx + 1] - grid[idx]))[:, None]
-
-        def gi(tab):
-            tab = jnp.asarray(tab)
-            return tab[idx, :] * (1 - w) + tab[idx + 1, :] * w
-
+        W = hat_weights(jnp.asarray(custom["log10P"]), log10P_cgs)
+        gi = lambda tab: W @ jnp.asarray(tab)
         tauc = gi(custom["dtau_dz"]) * dz[:, None]
         w0c = gi(custom["w0"])
         g0c = gi(custom["g0"])
