@@ -77,7 +77,7 @@ def main():
         )
         return fdn_sol[-1] - fup_sol[-1], -(fdn_ir[-1] - fup_ir[-1])
 
-    B = int(os.environ.get("BENCH_COLUMNS", "32"))
+    B = int(os.environ.get("BENCH_COLUMNS", "256"))
     fn = jax.jit(jax.vmap(radiate_one))
 
     rng = np.random.default_rng(0)

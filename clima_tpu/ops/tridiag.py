@@ -16,7 +16,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["tridiag", "tridiag_batched_last"]
+__all__ = [
+    "tridiag",
+    "tridiag_batched_last",
+    "tridiag_pcr",
+    "tridiag_block2_pcr",
+    "block2_pcr_components",
+]
 
 
 def tridiag(a, b, c, d):
@@ -152,21 +158,42 @@ def tridiag_block2_pcr(a, b, c, d):
     a = a.at[..., 0].set(0.0)
     c = c.at[..., -1].set(0.0)
 
-    # Block row k (rows 2k, 2k+1; unknowns u_k = (x_{2k}, x_{2k+1})):
-    #   L_k u_{k-1} + M_k u_k + U_k u_{k+1} = f_k
-    # L_k = [[0, a_{2k}], [0, 0]],  U_k = [[0, 0], [c_{2k+1}, 0]]
-    # M_k = [[b_{2k}, c_{2k}], [a_{2k+1}, b_{2k+1}]]
-    #
-    # Block components are stored as SEPARATE (..., m) arrays — a trailing
-    # (2, 2) axis would be padded to full (8, 128) TPU tiles (64x memory
-    # blow-up, observed as an HBM OOM at compile time).
-    zeros = jnp.zeros(batch + (m,), dt)
-    ones = jnp.ones(batch + (m,), dt)
+    u0, u1 = block2_pcr_components(
+        a[..., 0::2], b[..., 0::2], c[..., 0::2],
+        a[..., 1::2], b[..., 1::2], c[..., 1::2],
+        d[..., 0::2], d[..., 1::2],
+    )
+    return jnp.stack([u0, u1], axis=-1).reshape(batch + (n,))
 
-    L = (zeros, a[..., 0::2], zeros, zeros)  # (l00, l01, l10, l11)
-    U = (zeros, zeros, c[..., 1::2], zeros)
-    M = (b[..., 0::2], c[..., 0::2], a[..., 1::2], b[..., 1::2])
-    f = (d[..., 0::2], d[..., 1::2])
+
+def block2_pcr_components(L01, M00, M01, M10, M11, U10, f0, f1):
+    """2x2-block PCR on pre-split block components (the fast path).
+
+    Block row k (rows 2k, 2k+1; unknowns u_k = (x_{2k}, x_{2k+1})):
+      L_k u_{k-1} + M_k u_k + U_k u_{k+1} = f_k
+    with L_k = [[0, L01_k], [0, 0]], U_k = [[0, 0], [U10_k, 0]],
+    M_k = [[M00, M01], [M10, M11]]_k. All inputs (..., m).
+
+    The two-stream assembly produces exactly these arrays (even/odd row
+    coefficient sets), so callers avoid the interleave + strided re-slicing
+    of the scalar tridiagonal form entirely. Components are SEPARATE arrays:
+    a trailing (2, 2) axis would be padded to full (8, 128) TPU tiles (64x
+    memory blow-up, observed as a compile-time HBM OOM).
+    """
+    import math
+
+    m = L01.shape[-1]
+    dt = M00.dtype
+    batch = jnp.broadcast_shapes(
+        *(x.shape[:-1] for x in (L01, M00, M01, M10, M11, U10, f0, f1))
+    )
+    bcast = lambda x: jnp.broadcast_to(x, batch + (m,))
+    zeros = jnp.zeros(batch + (m,), dt)
+
+    L = (zeros, bcast(L01), zeros, zeros)  # (l00, l01, l10, l11)
+    U = (zeros, zeros, bcast(U10), zeros)
+    M = (bcast(M00), bcast(M01), bcast(M10), bcast(M11))
+    f = (bcast(f0), bcast(f1))
 
     def shift_t(t, k, fills):
         """Shift each component of tuple t by k along the last axis."""
@@ -230,5 +257,4 @@ def tridiag_block2_pcr(a, b, c, d):
         f_new = (f[0] - af[0] - gf[0], f[1] - af[1] - gf[1])
         L, M, U, f = L_new, M_new, U_new, f_new
 
-    u0, u1 = mv(inv2(M), f)  # each (..., m)
-    return jnp.stack([u0, u1], axis=-1).reshape(batch + (n,))
+    return mv(inv2(M), f)  # (u0, u1), each (..., m)

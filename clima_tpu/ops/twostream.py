@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .tridiag import tridiag_batched_last, tridiag_block2_pcr
+from .tridiag import tridiag_batched_last, block2_pcr_components
 from .. import constants as const
 
 __all__ = ["two_stream_solar", "two_stream_ir", "set_tridiag_method"]
@@ -47,9 +47,12 @@ def _es(lam, cap_gam, tau):
 
 
 def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
-    """Build the interleaved 2*nz tridiagonal system (Eqs. 39-43) and solve.
+    """Build the 2*nz two-stream system (Eqs. 39-43) and solve.
 
-    Returns (y1, y2) of shape (..., nz).
+    The even/odd coefficient rows are fed DIRECTLY to the 2x2-block PCR
+    solver as block components — the interleaved scalar tridiagonal form
+    (and its strided re-slicing) never materializes. Returns (y1, y2) of
+    shape (..., nz).
     """
     nz = e1.shape[-1]
     zeros = jnp.zeros_like(e1[..., :1])
@@ -106,18 +109,22 @@ def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
         axis=-1,
     )
 
+    if _TRIDIAG_METHOD == "pcr":
+        # block components ARE the even/odd coefficient rows
+        y1, y2 = block2_pcr_components(
+            A_ev, B_ev, D_ev, A_od, B_od, D_od, E_ev, E_od
+        )
+        return y1, y2
+
     def interleave(ev, od):
+        ev, od = jnp.broadcast_arrays(ev, od)
         return jnp.stack([ev, od], axis=-1).reshape(ev.shape[:-1] + (2 * nz,))
 
     A = interleave(A_ev, A_od)
     B = interleave(B_ev, B_od)
     D = interleave(D_ev, D_od)
     E = interleave(E_ev, E_od)
-
-    if _TRIDIAG_METHOD == "pcr":
-        sol = tridiag_block2_pcr(A, B, D, E)
-    else:
-        sol = tridiag_batched_last(A, B, D, E)
+    sol = tridiag_batched_last(A, B, D, E)
     y1 = sol[..., 0::2]
     y2 = sol[..., 1::2]
     return y1, y2
