@@ -88,16 +88,18 @@ def main():
     dens_b = jnp.asarray(dens[None, :, :] * jitter[:, :, None])
     dz_b = jnp.asarray(np.repeat(dz[None, :], B, axis=0))
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync via np.asarray (device_get) — in this
+    # environment jax.block_until_ready does not reliably synchronize through
+    # the TPU relay, so timing must round-trip a (small) result to host.
     out = fn(T_surf_b, T_b, P_b, dens_b, dz_b)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
-    # timed iterations
+    # timed iterations; scale one input so every call is distinct
     n_iter = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(T_surf_b, T_b, P_b, dens_b, dz_b)
-    jax.block_until_ready(out)
+    for i in range(n_iter):
+        out = fn(T_surf_b * (1.0 + 1e-6 * i), T_b, P_b, dens_b, dz_b)
+        np.asarray(out[0])
     dt = time.perf_counter() - t0
 
     ngauss = op.kset.nbin

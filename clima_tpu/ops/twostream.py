@@ -37,6 +37,21 @@ def set_tridiag_method(name: str):
     _TRIDIAG_METHOD = name
 
 
+def _cumsum_last(x):
+    """Inclusive cumsum along the last axis via log2(n) doubling shifts.
+
+    Equivalent to jnp.cumsum(x, axis=-1) but built from shifts + adds, which
+    both XLA and Mosaic (Pallas) lower to cheap lane operations.
+    """
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        pad = jnp.zeros(x.shape[:-1] + (k,), x.dtype)
+        x = x + jnp.concatenate([pad, x[..., :-k]], axis=-1)
+        k *= 2
+    return x
+
+
 def _es(lam, cap_gam, tau):
     wrk = jnp.exp(-lam * tau)
     e1 = 1.0 + cap_gam * wrk
@@ -159,7 +174,7 @@ def two_stream_solar(tau_in, w0_in, gt_in, u0, Rsfc):
 
     # cumulative optical depth at layer tops; tauc has nz+1 edges
     tauc = jnp.concatenate(
-        [jnp.zeros_like(tau[..., :1]), jnp.cumsum(tau, axis=-1)], axis=-1
+        [jnp.zeros_like(tau[..., :1]), _cumsum_last(tau)], axis=-1
     )
 
     facp = w0 * Fs_pi * ((gam1 - 1.0 / u0) * gam3 + gam4 * gam2)

@@ -32,7 +32,28 @@ __all__ = [
     "batched_surface_temperature",
     "make_mesh",
     "shard_columns",
+    "initialize_distributed",
 ]
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host initialization (jax.distributed over ICI/DCN).
+
+    The workload is communication-free across columns (SURVEY.md section
+    2.4): after this call, build the mesh with :func:`make_mesh` over
+    ``jax.devices()`` and shard the column batch; the only cross-host
+    traffic is the convergence all-reduce.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_column_fns(c):

@@ -46,15 +46,23 @@ def radiate_ir(channel_slice, freq_master, wbin, opr, surface_emissivity,
     )  # (nw, nz+1)
 
     emis = jnp.asarray(surface_emissivity)  # (nw,)
+    # flatten the (nw, G) batch to 2-D before the solve: TPU layouts for the
+    # flat (B, nz) case are dramatically better than broadcast 3-D/5-D
+    nG = tau.shape[1]
+    flat = lambda x: jnp.broadcast_to(x, (nw, nG) + x.shape[2:]).reshape(
+        nw * nG, -1
+    )
     fup, fdn = two_stream_ir(
-        tau,
-        w0,
-        g[:, None, :],
-        emis[:, None],
+        flat(tau),
+        flat(w0),
+        flat(g[:, None, :]),
+        flat(emis[:, None, None])[:, 0],
         has_hard_surface,
         ir_tau_min,
-        bplanck[:, None, :],
-    )  # (nw, G, nz+1)
+        flat(bplanck[:, None, :]),
+    )
+    fup = fup.reshape(nw, nG, nz + 1)
+    fdn = fdn.reshape(nw, nG, nz + 1)
 
     wbin = jnp.asarray(wbin)
     fup_w = jnp.sum(fup * wbin[None, :, None], axis=1)  # (nw, nz+1) TOA-down
@@ -87,14 +95,23 @@ def radiate_solar(channel_slice, freq_master, wavl_master, wbin, opr,
     zw = jnp.asarray(zenith_weights)
     alb = jnp.asarray(surface_albedo)  # (nw,)
 
-    # batch over (n_zen, nw, G)
+    # flatten the (n_zen, nw, G) batch to 2-D before the solve (see radiate_ir)
+    nzen = zenith_u.shape[0]
+    nG = tau.shape[1]
+    flat = lambda x: jnp.broadcast_to(x, (nzen, nw, nG) + x.shape[3:]).reshape(
+        nzen * nw * nG, -1
+    )
     amean, _, fup, fdn = two_stream_solar(
-        tau[None, :, :, :],
-        w0[None, :, :, :],
-        g[None, :, None, :],
-        zenith_u[:, None, None],
-        alb[None, :, None],
-    )  # (n_zen, nw, G, nz+1)
+        flat(tau[None, :, :, :]),
+        flat(w0[None, :, :, :]),
+        flat(g[None, :, None, :]),
+        flat(zenith_u[:, None, None, None])[:, 0],
+        flat(alb[None, :, None, None])[:, 0],
+    )
+    unflat = lambda x: x.reshape(nzen, nw, nG, nz + 1)
+    amean = unflat(amean)
+    fup = unflat(fup)
+    fdn = unflat(fdn)
 
     wbin = jnp.asarray(wbin)
     # k-weights then zenith weights
