@@ -284,31 +284,106 @@ def _objective(self, P_i_surf, x):
     return _objective_fixed_profile(self, T_in, True, True)
 
 
-def _jacobian_from_base(self, x, dTdt_base):
-    """FD Jacobian with zone-block perturbation (solve.f90:768-822).
-
-    Opacity is NOT recomputed and solar RT follows compute_solar_in_jac —
-    matching the reference's cost/conditioning choices.
-    """
+def _perturbation_matrix(self, x):
+    """The FD perturbation temperature matrix (n, nz+1) with zone blocks."""
     n = len(x)
     T_base = np.concatenate([[self.T_surf], self.T])
-    jac = np.empty((n, n))
+    T_perts = np.repeat(T_base[None, :], n, axis=0)
+    deltas = np.empty(n)
     for i in range(n):
         deltaT = self.epsj * abs(x[i])
-        T_pert = T_base.copy()
-        T_pert[self._inds_Tx[i] - 1] += deltaT
+        deltas[i] = deltaT
+        T_perts[i, self._inds_Tx[i] - 1] += deltaT
         zi = np.where(self._ind_conv_lower_x == i)[0]
         if len(zi) > 0:
             lo = self._ind_conv_lower[zi[0]]
             up = self._ind_conv_upper[zi[0]]
-            T_pert[lo - 1 : up] = T_base[lo - 1 : up] + deltaT
-        _, dTdt_p = _objective_fixed_profile(
-            self, T_pert, self.compute_solar_in_jac, False
-        )
-        jac[:, i] = (dTdt_p - dTdt_base) / deltaT
-    # restore base state
-    _objective_fixed_profile(self, T_base, self.compute_solar_in_jac, False)
+            T_perts[i, lo - 1 : up] = T_base[lo - 1 : up] + deltaT
+    return T_base, T_perts, deltas
+
+
+def _jacobian_from_base(self, x, dTdt_base):
+    """FD Jacobian with zone-block perturbation (solve.f90:768-822).
+
+    Opacity is NOT recomputed and solar RT follows ``compute_solar_in_jac``,
+    matching the reference's cost/conditioning choices — which means (in the
+    default configuration) each perturbed column differs ONLY in the IR
+    Planck source. All n perturbations therefore run as ONE vmapped IR
+    radiate call instead of n serial RT evaluations (the reference's serial
+    FD loop), with the cheap O(nz) residual assembly on host.
+    """
+    T_base, T_perts, deltas = _perturbation_matrix(self, x)
+    n = len(x)
+
+    if self.compute_solar_in_jac or self.tidally_locked_dayside:
+        # general path: serial fixed-profile objectives (rare configuration)
+        jac = np.empty((n, n))
+        for i in range(n):
+            _, dTdt_p = _objective_fixed_profile(
+                self, T_perts[i], self.compute_solar_in_jac, False
+            )
+            jac[:, i] = (dTdt_p - dTdt_base) / deltas[i]
+        _objective_fixed_profile(self, T_base, self.compute_solar_in_jac, False)
+        return jac
+
+    # batched path: one vmapped IR call over all perturbations
+    rad = self.rad
+    opr = rad._opr
+    T_r_perts = np.concatenate(
+        [np.repeat(T_perts[:, 1:], 2, axis=1), T_perts[:, -1:], T_perts[:, -1:]],
+        axis=1,
+    )  # (n, nz_r) doubled grid + ghosts
+
+    ir_batch = _get_ir_batch_fn(self)
+    fup_n, fdn_n = ir_batch(
+        opr, jnp.asarray(rad.surface_emissivity), jnp.asarray(T_perts[:, 0]),
+        jnp.asarray(T_r_perts), rad.has_hard_surface, float(rad.ir_tau_min),
+    )
+    fup_n = np.asarray(fup_n)
+    fdn_n = np.asarray(fdn_n)
+
+    # frozen solar contribution to the net flux
+    sol_net = np.asarray(rad.wrk_sol._fdn_n - rad.wrk_sol._fup_n)
+
+    jac = np.empty((n, n))
+    T_save = self.T.copy()
+    T_surf_save = self.T_surf
+    dens_save = self.densities.copy()
+    for i in range(n):
+        f_total_r = sol_net + (fdn_n[i] - fup_n[i])
+        f_total = f_total_r[0::2][: self.nz + 1].copy()
+        f_total[0] += self.surface_heat_flow
+        # residual assembly uses layer T for rho/cp: set perturbed temps
+        self.T_surf = float(T_perts[i, 0])
+        self.T = T_perts[i, 1:].copy()
+        _, dTdt_p = _residuals_with_convection(self, f_total)
+        jac[:, i] = (dTdt_p - dTdt_base) / deltas[i]
+    self.T_surf = T_surf_save
+    self.T = T_save
+    self.densities = dens_save
     return jac
+
+
+def _get_ir_batch_fn(self):
+    """Cached vmapped IR radiate over a batch of temperature profiles."""
+    fn = getattr(self, "_ir_batch_fn", None)
+    if fn is not None:
+        return fn
+    rad = self.rad
+    ir_fn = rad._ir_fn
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("has_hard_surface", "ir_tau_min"))
+    def ir_batch(opr, emissivity, T_surface_b, T_b, has_hard_surface, ir_tau_min):
+        def one(T_surface, T):
+            res = ir_fn(opr, emissivity, T_surface, T, has_hard_surface, ir_tau_min)
+            return res["fup_n"], res["fdn_n"]
+
+        return jax.vmap(one)(T_surface_b, T_b)
+
+    self._ir_batch_fn = ir_batch
+    return ir_batch
 
 
 def _flux_metrics(self, dFdt):

@@ -119,3 +119,38 @@ def test_rce_custom_mixing_ratios(c):
     iCH4 = c.species_names.index("CH4")
     # CH4 follows its prescribed ratio relative to the dry portion
     assert np.all(c.f_i[:, iCH4] > 0)
+
+
+def test_batched_jacobian_matches_serial(c):
+    """The vmapped-IR FD Jacobian must equal the serial fixed-profile path."""
+    from clima_tpu.adiabat import rce as R
+    import numpy as np
+
+    P_i = P_i_earth(c)
+    c.convecting_with_below = np.zeros(c.nz, dtype=bool)
+    c.convecting_with_below[:3] = True  # one convective zone for zone-block coverage
+    c._set_convecting_zones(c.convecting_with_below)
+    x = np.empty(len(c._inds_Tx))
+    T_lin = np.linspace(280.0, 200.0, c.nz + 1)
+    x[0] = T_lin[0]
+    for k in range(1, len(c._inds_Tx)):
+        x[k] = T_lin[c._inds_Tx[k] - 1]
+    dFdt, dTdt = R._objective(c, P_i, x)
+
+    jac_batched = R._jacobian_from_base(c, x, dTdt)
+
+    # force the serial path
+    old = c.compute_solar_in_jac
+    try:
+        c.compute_solar_in_jac = False
+        T_base, T_perts, deltas = R._perturbation_matrix(c, x)
+        n = len(x)
+        jac_serial = np.empty((n, n))
+        for i in range(n):
+            _, dTdt_p = R._objective_fixed_profile(c, T_perts[i], False, False)
+            jac_serial[:, i] = (dTdt_p - dTdt) / deltas[i]
+        R._objective_fixed_profile(c, T_base, False, False)
+    finally:
+        c.compute_solar_in_jac = old
+
+    np.testing.assert_allclose(jac_batched, jac_serial, rtol=1e-8, atol=1e-12)
