@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .rebin import rebin_jnp
 
-__all__ = ["k_rorr_mix", "make_wxy"]
+__all__ = ["k_rorr_mix", "k_aee_mix", "make_wxy"]
 
 
 def make_wxy(wbin):
@@ -57,6 +57,33 @@ def _mix_pair(tau_mixed, tau_next, wxy, wbin_e):
     ]
     F = jnp.stack(Fs, axis=-1)  # (..., nbin+1)
     return jnp.diff(F, axis=-1) / jnp.diff(wbin_e)
+
+
+def k_aee_mix(tau_ks, wbin):
+    """Adaptive-equivalent-extinction mixing of k-species optical depths.
+
+    The reference declares this k-method but leaves it unimplemented
+    (``clima_radtran_types.f90:80-82``, errors at ``:761-763``); this is a
+    working implementation following the equivalent-extinction approach
+    (Amundsen et al. 2017): per (bin, layer), the species with the largest
+    band-mean (grey) optical depth keeps its full k-distribution and all
+    other species contribute their grey optical depth. Entirely
+    sort/gather-free — a fast alternative to RORR.
+
+    ``tau_ks``: (nk, ..., nbin); ``wbin``: (nbin,). Returns (..., nbin).
+    The weighted band mean is preserved exactly (as it is under RORR).
+    """
+    wbin = jnp.asarray(wbin)
+    tau_grey = jnp.sum(tau_ks * wbin, axis=-1)  # (nk, ...)
+    total_grey = jnp.sum(tau_grey, axis=0)  # (...)
+    nk = tau_ks.shape[0]
+    idx_major = jnp.argmax(tau_grey, axis=0)  # (...)
+    one_hot = (
+        jnp.arange(nk).reshape((nk,) + (1,) * idx_major.ndim) == idx_major[None]
+    )
+    tau_major = jnp.sum(jnp.where(one_hot[..., None], tau_ks, 0.0), axis=0)
+    grey_major = jnp.sum(jnp.where(one_hot, tau_grey, 0.0), axis=0)
+    return tau_major + (total_grey - grey_major)[..., None]
 
 
 def k_rorr_mix(tau_ks, wbin_e):

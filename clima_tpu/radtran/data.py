@@ -382,10 +382,9 @@ def load_optical_data(datadir: str, species_names, particle_names, sop) -> Optic
         wbin=ktables[0].weights,
         wbin_e=ktables[0].weight_e,
     )
-    if sop.k_method == "AdaptiveEquivalentExtinction":
-        raise ClimaException(
-            "k-method AdaptiveEquivalentExtinction is not implemented (matches reference)."
-        )
+    # Note: "AdaptiveEquivalentExtinction" is declared-but-unimplemented in
+    # the reference (clima_radtran_types.f90:761-763); here it is a working
+    # sort-free mixing method (clima_tpu.ops.rorr.k_aee_mix).
 
     # --- CIA ---
     cia = []

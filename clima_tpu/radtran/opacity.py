@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import constants as const
-from ..ops.rorr import k_rorr_mix
+from ..ops.rorr import k_rorr_mix, k_aee_mix
 from ..ops.interp import hat_weights
 from .data import OpticalData
 
@@ -92,8 +92,14 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
         tau_ks.append(jnp.transpose(tau_sp, (2, 0, 1)))  # (W, nz, G)
     tau_ks = jnp.stack(tau_ks, axis=0)  # (nk, W, nz, G)
 
-    # --- RORR mixing (k_rorr, types.f90:780-888) ---
-    tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))  # (W, nz, G)
+    # --- k-distribution mixing ---
+    if op.kset.k_method == "AdaptiveEquivalentExtinction":
+        # declared-but-unimplemented in the reference (types.f90:761-763);
+        # implemented here as a sort-free fast path (ops.rorr.k_aee_mix)
+        tau_kmix = k_aee_mix(tau_ks, jnp.asarray(op.kset.wbin))  # (W, nz, G)
+    else:
+        # RORR (k_rorr, types.f90:780-888)
+        tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))
 
     # --- Rayleigh scattering ---
     tausg = jnp.zeros((nz, nw))
