@@ -113,6 +113,7 @@ def make_profile_rc(self, P_i_surf, T_in):
         raise ClimaException("P_i_surf has the wrong dimension")
     if T_in.shape != (self.nz + 1,):
         raise ClimaException("T_in has the wrong dimension")
+    _check_temperature_range(self, T_in)
     if not hasattr(self, "_cm_arrays"):
         self._cm_arrays = _default_custom(self)
 
@@ -249,8 +250,27 @@ def _residuals_with_convection(self, f_total):
     return dFdt, dTdt
 
 
+def _check_temperature_range(self, T_in, lo=0.5, hi=6000.0):
+    """Reject unphysical temperatures with an error, like the reference.
+
+    The reference's heat_capacity_eval errors for T outside the thermo
+    tables' ranges (clima_eqns.f90:105-133), which is what keeps HYBRJ/PTC
+    trial steps inside physical territory; our vectorized heat capacity
+    clamps instead, so the guard must be explicit. A convective-layer
+    placeholder of -1 is allowed (filled in by the adiabat integration).
+    """
+    T = np.asarray(T_in)
+    bad = ~(((T > lo) & (T < hi)) | (T == -1.0))
+    if np.any(bad):
+        raise ClimaException(
+            f"temperature out of physical range [{lo}, {hi}]: "
+            f"min={np.min(T):.3g}, max={np.max(T):.3g}"
+        )
+
+
 def _objective_fixed_profile(self, T_in, compute_solar, compute_opacity):
     """Radiate at temperatures T_in on the frozen profile (solve.f90:679-739)."""
+    _check_temperature_range(self, T_in)
     self.T_surf = float(T_in[0])
     self.T = np.asarray(T_in[1:], dtype=np.float64).copy()
     density = self.P / (const.k_boltz * self.T)
@@ -267,9 +287,39 @@ def _objective_fixed_profile(self, T_in, compute_solar, compute_opacity):
         tau_LW, k_term, f_term = self.heat_redistribution_parameters()
         self.rad.apply_radiation_enhancement(4.0 * f_term)
 
-    f_total = self.rad.f_total[0::2][: self.nz + 1].copy()
+    f_total = _f_total_edges_precise(self)
     f_total[0] += self.surface_heat_flow
     return _residuals_with_convection(self, f_total)
+
+
+def _f_total_edges_precise(self):
+    """Net flux at the physical-layer edges, cancellation-safe.
+
+    The energy-balance residual differences net fluxes (~1 mW/m^2) that are
+    tiny compared to the fluxes themselves (~1e5 mW/m^2); in float32 the
+    pre-integrated ``rad.f_total`` quantizes those differences to its ulp
+    (~1/64 mW/m^2), capping the achievable max|F/F0| near 5e-3. Rebuilding
+    the edge profile from the PER-BIN arrays — adjacent-edge differences of
+    nearby float32 values are exact (Sterbenz) — and accumulating the
+    frequency integral and cumulative sum in float64 restores full residual
+    precision at any compute dtype.
+    """
+    w_ir, w_sol = self.rad.wrk_ir, self.rad.wrk_sol
+    e = slice(0, 2 * self.nz + 1, 2)  # physical edges on the doubled grid
+
+    def net_parts(w, freq):
+        net_a = (np.asarray(w._fdn_a) - np.asarray(w._fup_a))[e, :]
+        dfreq = (freq[:-1] - freq[1:]).astype(np.float64)
+        base = np.sum(net_a[0].astype(np.float64) * dfreq)
+        d = np.sum(np.diff(net_a, axis=0).astype(np.float64) * dfreq, axis=1)
+        return base, d
+
+    b_ir, d_ir = net_parts(w_ir, self.rad.ir.freq)
+    b_sol, d_sol = net_parts(w_sol, self.rad.sol.freq)
+    f_total = np.empty(self.nz + 1)
+    f_total[0] = b_ir + b_sol
+    f_total[1:] = f_total[0] + np.cumsum(d_ir + d_sol)
+    return f_total
 
 
 def _objective(self, P_i_surf, x):

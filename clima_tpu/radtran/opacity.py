@@ -23,6 +23,9 @@ from .data import OpticalData
 
 __all__ = ["compute_opacity"]
 
+# opt-in fused Pallas RORR kernel (see the dispatch comment in compute_opacity)
+USE_PALLAS_RORR = False
+
 
 def _interp_table_T_log10(temp_grid, table, T):
     """Interpolate log10-xsection rows at temperatures T (nz,) with clamping.
@@ -98,8 +101,18 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
         # implemented here as a sort-free fast path (ops.rorr.k_aee_mix)
         tau_kmix = k_aee_mix(tau_ks, jnp.asarray(op.kset.wbin))  # (W, nz, G)
     else:
-        # RORR (k_rorr, types.f90:780-888)
-        tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))
+        # RORR (k_rorr, types.f90:780-888). A fused Pallas bitonic kernel
+        # exists (ops.pallas_rorr) but is opt-in: its 21-stage unrolled sort
+        # network compiles very slowly through this environment's remote TPU
+        # toolchain, so the default stays on the XLA lax.sort path.
+        from . import opacity as _self_mod
+
+        if _self_mod.USE_PALLAS_RORR and op.kset.nbin == 8:
+            from ..ops.pallas_rorr import k_rorr_mix_pallas
+
+            tau_kmix = k_rorr_mix_pallas(tau_ks, op.kset.wbin, op.kset.wbin_e)
+        else:
+            tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))
 
     # --- Rayleigh scattering ---
     tausg = jnp.zeros((nz, nw))

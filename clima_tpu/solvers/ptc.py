@@ -188,6 +188,8 @@ class PTCSolver:
                 next_dt = self.dt_increment * self.dt * self.fnorm_previous / self.fnorm
             if self.dt_max > 0:
                 next_dt = min(next_dt, self.dt_max)
+            if not np.isfinite(next_dt) or next_dt <= 0.0:
+                next_dt = max(self.dt, 1e-300)
             self.dt = next_dt
             self.fnorm_previous = self.fnorm
             self.steps += 1
