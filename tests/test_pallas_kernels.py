@@ -1,0 +1,95 @@
+"""Pallas kernel validation (interpret mode on CPU; Mosaic equality is
+exercised on real TPU by bench/entry)."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import jax.experimental.pallas as pl
+from unittest import mock
+
+from clima_tpu.ops.twostream import two_stream_solar, two_stream_ir
+from clima_tpu.ops import pallas_twostream as pts
+from clima_tpu.ops.pallas_rorr import rorr_mix_pair_pallas, mix_pair_bitonic_ref
+from clima_tpu.ops.rorr import _mix_pair, make_wxy
+from clima_tpu.physics.eqns import planck_fcn
+
+
+@pytest.fixture()
+def interpret():
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        yield
+
+
+def _atm(B=24, nz=33, seed=0):
+    rng = np.random.default_rng(seed)
+    tau = rng.uniform(1e-6, 2.0, (B, nz))
+    w0 = rng.uniform(0.02, 0.999, (B, nz))
+    gt = rng.uniform(0.0, 0.85, (B, nz))
+    return tau, w0, gt
+
+
+def test_solar_kernel_matches_xla(interpret):
+    B, nz = 24, 33
+    tau, w0, gt = _atm(B, nz)
+    rng = np.random.default_rng(1)
+    u0 = rng.uniform(0.2, 1.0, B)
+    rs = rng.uniform(0.0, 0.6, B)
+    ref = two_stream_solar(jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+                           jnp.asarray(u0), jnp.asarray(rs))
+    got = pts.two_stream_solar_pallas(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+        jnp.asarray(u0), jnp.asarray(rs), block_b=8,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10)
+
+
+@pytest.mark.parametrize("hard", [True, False])
+def test_ir_kernel_matches_xla(interpret, hard):
+    B, nz = 16, 21
+    tau, w0, gt = _atm(B, nz, seed=2)
+    T = np.linspace(290.0, 180.0, nz + 1)
+    bpl = np.asarray(planck_fcn(2.0e13, jnp.asarray(T)))[None, :].repeat(B, axis=0)
+    emis = np.full(B, 0.95)
+    ref = two_stream_ir(jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+                        jnp.asarray(emis), hard, 1e-6, jnp.asarray(bpl))
+    got = pts.two_stream_ir_pallas(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt), jnp.asarray(emis),
+        hard, 1e-6, jnp.asarray(bpl), block_b=8,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10)
+
+
+def test_rorr_kernel_matches_sort_path(interpret):
+    rng = np.random.default_rng(3)
+    R = 130
+    a = np.sort(10 ** rng.uniform(-6, 1, (R, 8)), axis=-1)
+    b = np.sort(10 ** rng.uniform(-6, 1, (R, 8)), axis=-1)
+    w = rng.uniform(0.5, 1.5, 8)
+    wbin = w / w.sum()
+    wbin_e = np.concatenate([[0.0], np.cumsum(wbin)])
+    wxy = np.asarray(make_wxy(wbin))
+    ref = np.asarray(_mix_pair(jnp.asarray(a), jnp.asarray(b), jnp.asarray(wxy),
+                               jnp.asarray(wbin_e)))
+    got = np.asarray(rorr_mix_pair_pallas(jnp.asarray(a), jnp.asarray(b), wxy,
+                                          wbin_e, block_r=64))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_bitonic_tie_handling():
+    """Equal keys must not duplicate/lose payload weights."""
+    R = 16
+    a = np.full((R, 8), 0.25)
+    b = np.full((R, 8), 0.5)  # all 64 pair sums identical
+    w = np.full(8, 0.125)
+    wbin_e = np.concatenate([[0.0], np.cumsum(w)])
+    wxy = np.asarray(make_wxy(w))
+    got = np.asarray(mix_pair_bitonic_ref(jnp.asarray(a), jnp.asarray(b),
+                                          jnp.asarray(wxy)[None, :],
+                                          tuple(wbin_e)))
+    np.testing.assert_allclose(got, 0.75, rtol=1e-12)
