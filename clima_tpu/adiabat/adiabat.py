@@ -399,8 +399,12 @@ class AdiabatClimate:
         T_e = np.asarray(out["T_e"])
         self._finish_profile(T_e[0], out)
 
+        # intended(i) = lapse_rate_e(2i-2), i.e. the value at layer i-1's
+        # center (clima_adiabat.f90:714-717): 0-based odd edge indices
         lr_e = np.asarray(out["lapse_rate_e"])
-        self.lapse_rate_intended = np.concatenate([[lr_e[0]], lr_e[2:-1:2]])
+        self.lapse_rate_intended = np.concatenate(
+            [[lr_e[0]], lr_e[1::2][: self.nz - 1]]
+        )
         self._set_lapse_rates()
 
     # ------------------------------------------------------------------
