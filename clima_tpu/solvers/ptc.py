@@ -4,16 +4,24 @@ Solves f(x) = 0 by damped pseudo-timestepping: each step solves
 ``(I/dt - J) s = f(x)`` and updates ``x += s``, with TSPSEUDO-style timestep
 growth ``dt * increment * |f_prev| / |f|`` (clima_ptc.f90:745-770), step
 rejection/rollback with cached residual+Jacobian (:571-637, 773-799), and
-stagnation detection. Dense Jacobian only (the reference's banded mode is
-unused by clima's RCE).
+stagnation detection.
 
-Host-side control flow; the linear solve is numpy (tiny systems, <= nz+1);
-the residual/Jacobian callbacks dispatch jitted device programs.
+Both Jacobian modes of the reference are supported: dense (dgesv,
+clima_ptc.f90:694-711) and compact-banded (dgbsv, :714-725) — in banded mode
+``jac`` returns the LAPACK-compact layout ``ab[ku + i - j, j] = J[i, j]`` of
+shape ``(kl + ku + 1, n)`` and the system is solved with
+``scipy.linalg.solve_banded``. The optional timestep controls
+(``dt0_guess_fac``, ``increment_dt_from_initial_dt``, user ``compute_dt``,
+clima_ptc.f90:744-770) are also provided.
+
+Host-side control flow; the linear solve is numpy/scipy (tiny systems,
+<= nz+1); the residual/Jacobian callbacks dispatch jitted device programs.
 """
 
 from __future__ import annotations
 
 import numpy as np
+from scipy.linalg import solve_banded
 
 __all__ = ["PTCSolver", "PTC_CONVERGED_USER", "PTC_REASONS"]
 
@@ -42,10 +50,28 @@ class PTCSolver:
                  fatol=1.0e-50, frtol=1.0e-12, max_steps=10000, max_reject=10,
                  custom_convergence=None, progress=None,
                  stagnation_warmup_steps=10, stagnation_window=150,
-                 stagnation_rel_improve_tol=1.0e-3):
+                 stagnation_rel_improve_tol=1.0e-3,
+                 jacobian_type="dense", kl=None, ku=None,
+                 dt0_guess_fac=0.1, increment_dt_from_initial_dt=False,
+                 compute_dt=None):
+        if jacobian_type not in ("dense", "banded"):
+            raise ValueError(f"unknown jacobian_type {jacobian_type!r}")
+        if jacobian_type == "banded":
+            if kl is None or ku is None or kl < 0 or ku < 0:
+                raise ValueError("banded mode requires kl >= 0 and ku >= 0")
+        if dt is not None and dt <= 0.0:
+            raise ValueError("dt0 must be positive")
+        if dt0_guess_fac <= 0.0:
+            raise ValueError("dt0_guess_fac must be positive")
+        if dt_increment <= 0.0:
+            raise ValueError("dt_increment must be positive")
         self.x = np.asarray(x0, dtype=np.float64).copy()
         self.f = f  # f(x) -> fvec or raises
-        self.jac = jac  # jac(x) -> (n, n)
+        # jac(x) -> (n, n) dense, or (kl+ku+1, n) compact banded
+        self.jac = jac
+        self.jacobian_type = jacobian_type
+        self.kl = kl
+        self.ku = ku
         self.dt = dt
         self.dt_increment = dt_increment
         self.dt_max = dt_max
@@ -58,6 +84,8 @@ class PTCSolver:
         self.stagnation_warmup_steps = stagnation_warmup_steps
         self.stagnation_window = stagnation_window
         self.stagnation_rel_improve_tol = stagnation_rel_improve_tol
+        self.increment_dt_from_initial_dt = increment_dt_from_initial_dt
+        self.compute_dt = compute_dt
 
         self.fvec = None
         self.fnorm = -1.0
@@ -71,11 +99,13 @@ class PTCSolver:
         self._jac_cache = None
 
         if self.dt is None:
-            # auto dt0 = 0.1 / max|diag(J)| capped at 1e12 (clima_ptc.f90:332-360)
+            # auto dt0 = fac / max|diag(J)| capped at 1e12 (clima_ptc.f90:332-360)
             J = np.asarray(self.jac(self.x), dtype=np.float64)
             self._jac_cache = J
-            maxdiag = float(np.max(np.abs(np.diag(J))))
-            self.dt = min(0.1 / max(maxdiag, 1e-300), 1.0e12)
+            diag = np.diag(J) if self.jacobian_type == "dense" else J[self.ku, :]
+            maxdiag = float(np.max(np.abs(diag)))
+            self.dt = min(dt0_guess_fac / max(maxdiag, 1e-300), 1.0e12)
+        self.dt_initial = self.dt
 
     def _residual(self, x):
         fvec = np.asarray(self.f(x), dtype=np.float64)
@@ -144,11 +174,17 @@ class PTCSolver:
                     self.reason = PTC_DIVERGED_CALLBACK_FATAL
                     return
             n = len(self.x)
-            A = np.eye(n) / self.dt - self._jac_cache
             try:
-                s = np.linalg.solve(A, self.fvec)
+                if self.jacobian_type == "dense":
+                    A = np.eye(n) / self.dt - self._jac_cache
+                    s = np.linalg.solve(A, self.fvec)
+                else:
+                    # A = I/dt - J in the same compact layout (clima_ptc.f90:714-725)
+                    ab = -self._jac_cache.copy()
+                    ab[self.ku, :] += 1.0 / self.dt
+                    s = solve_banded((self.kl, self.ku), ab, self.fvec)
                 ok = np.all(np.isfinite(s))
-            except np.linalg.LinAlgError:
+            except (np.linalg.LinAlgError, ValueError):
                 ok = False
             if not ok:
                 self.dt = max(0.5 * self.dt, 1e-300)
@@ -181,13 +217,20 @@ class PTCSolver:
                 self.fnorm_initial = self.fnorm
                 self.fnorm_previous = self.fnorm
 
-            # TSPSEUDO timestep update
-            if self.fnorm == 0.0:
-                next_dt = 1.0e12 * self.dt_increment * self.dt
+            # TSPSEUDO timestep update (clima_ptc.f90:744-770)
+            if self.compute_dt is not None:
+                next_dt = self.compute_dt(self)
             else:
-                next_dt = self.dt_increment * self.dt * self.fnorm_previous / self.fnorm
-            if self.dt_max > 0:
-                next_dt = min(next_dt, self.dt_max)
+                if self.fnorm == 0.0:
+                    next_dt = 1.0e12 * self.dt_increment * self.dt
+                elif self.increment_dt_from_initial_dt:
+                    next_dt = (self.dt_increment * self.dt_initial
+                               * self.fnorm_initial / self.fnorm)
+                else:
+                    next_dt = (self.dt_increment * self.dt
+                               * self.fnorm_previous / self.fnorm)
+                if self.dt_max > 0:
+                    next_dt = min(next_dt, self.dt_max)
             if not np.isfinite(next_dt) or next_dt <= 0.0:
                 next_dt = max(self.dt, 1e-300)
             self.dt = next_dt
