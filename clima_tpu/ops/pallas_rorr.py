@@ -1,145 +1,162 @@
-"""Fused Pallas kernel for one RORR k-mixing step.
+"""Fused Pallas kernel for RORR k-mixing — rank-based, sort-free.
 
-The XLA RORR path spends most of the opacity budget in ``lax.sort`` over the
-64 pairwise optical depths (measured ~167 ms of a ~260 ms radiate call at
-the flagship batch). This kernel runs the whole mix step on a VMEM-resident
-row tile: pairwise-sum formation, a 64-lane bitonic sort network
-(compare-exchange via lane rolls — ties are harmless because equal keys make
-their weights interchangeable in the conservative rebin), a doubling-shift
-cumulative sum, and the clipped-reduction rebin onto the static master
-weight edges.
+The XLA RORR path spends most of the opacity budget in the variadic
+``lax.sort`` over the nbin^2 pairwise optical depths (measured ~170 ms of a
+~215 ms full radiate at the flagship batch on v5e). This kernel removes the
+sort entirely: the conservative rebin (k_rorr, clima_radtran_types.f90:
+780-888) only needs each pair's *lower cumulative-weight edge* in the sorted
+order, which is its weighted rank
 
-Numerical equality with ops.rorr._mix_pair is asserted in tests.
+    lower[p] = sum_k wxy[k] * [key_k < key_p  or  (key_k == key_p and k < p)]
+
+(the index tie-break reproduces the reference's stable mrgrnk ordering; with
+ties, any consistent assignment of distinct rank windows yields the same
+rebinned spectrum, but each pair must get a *distinct* window — see the
+all-equal-keys test). The rebin is then direct overlap sums in the original
+pair order — no sorted array is ever formed.
+
+Layout: the pair axis (nbin^2) runs along *sublanes* and the flattened batch
+along lanes, so every vector op is full-width; all (nbin^2, L) intermediates
+live in VMEM; and the whole multi-species mix chain runs in one kernel with
+the running mix staying on-chip. Kernel-variant history (all measured on
+v5e): bitonic network on (R, 64) lanes — 310 ms, bitonic on transposed
+sublanes — 136 ms / 330 s compile, rank-based transposed — 119 ms / 12 s
+compile, vs 170-210 ms for the XLA sort path.
+
+Inside the kernel: no jnp.where on booleans (Mosaic can't truncate i8->i1;
+use ==/XNOR), no negative pltpu.roll shifts, no reshapes that merge the
+lane axis, array constants passed as inputs (wxy) or Python floats
+(wbin edges).
 """
 
 from __future__ import annotations
 
-import functools
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rorr_mix_pair_pallas", "mix_pair_bitonic_ref"]
-
-NBIN = 8
-NPAIR = NBIN * NBIN
+__all__ = ["k_rorr_mix_pallas", "rorr_mix_pair_pallas", "mix_pair_rank_ref"]
 
 
-def _bitonic_sort_with_payload(keys, payload):
-    """Bitonic sort of (R, 64) keys carrying payload, via lane rolls."""
-    n = keys.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, dimension=keys.ndim - 1)
-    k = 2
-    while k <= n:
-        j = k // 2
-        while j >= 1:
-            up_k = jnp.roll(keys, -j, axis=-1)
-            dn_k = jnp.roll(keys, j, axis=-1)
-            up_p = jnp.roll(payload, -j, axis=-1)
-            dn_p = jnp.roll(payload, j, axis=-1)
-            use_up = (lane & j) == 0
-            pk = jnp.where(use_up, up_k, dn_k)
-            pp = jnp.where(use_up, up_p, dn_p)
-            ascending = (lane & k) == 0
-            keep_small = use_up == ascending
-            # lexicographic (key, lane) ordering: without the tie-break, equal
-            # keys make BOTH partners keep the same payload (one weight
-            # duplicated, one lost) — float32 sums tie often enough to skew
-            # even the band mean by percent.
-            self_first = (keys < pk) | ((keys == pk) & use_up)
-            take_self = jnp.where(keep_small, self_first, ~self_first)
-            keys = jnp.where(take_self, keys, pk)
-            payload = jnp.where(take_self, payload, pp)
-            j //= 2
-        k *= 2
-    return keys, payload
+def _mix_one_rank(a, b, wxy_col, wbin_e_c, nbin):
+    """One RORR pair-mix on the transposed layout: (nbin, L) x (nbin, L).
 
+    ``wxy_col``: (nbin^2, 1) pair weights with wxy[p] = wbin[p % nbin] *
+    wbin[p // nbin] (matching the tile/select pair construction below).
+    ``wbin_e_c``: tuple of nbin+1 Python floats (master weight edges).
+    Pure jnp — runs identically inside the kernel and as an XLA/interpret
+    oracle.
+    """
+    npair = nbin * nbin
+    L = a.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (npair, L), 0)
+    hi = sub // nbin
+    # keys[p] = a[p % nbin] + b[p // nbin]; with the wxy ordering above each
+    # of the nbin^2 (a_i, b_j) pairs appears once with weight wbin_i*wbin_j
+    A = pltpu.repeat(a, nbin, 0)
+    B = jnp.zeros((npair, L), dtype=a.dtype)
+    for i in range(nbin):
+        B = jnp.where(hi == i, b[i : i + 1, :], B)
+    keys = A + B
+    w = jnp.broadcast_to(wxy_col, (npair, L))
 
-def _cumsum_lanes(x):
-    n = x.shape[-1]
-    k = 1
-    while k < n:
-        shifted = jnp.roll(x, k, axis=-1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 1)
-        x = x + jnp.where(lane >= k, shifted, 0.0)
-        k *= 2
-    return x
+    lower = jnp.zeros((npair, L), dtype=a.dtype)
+    for k in range(npair):
+        kk = keys[k : k + 1, :]
+        wk = wxy_col[k, 0]
+        prec = (kk < keys) | ((kk == keys) & (k < sub))
+        lower = lower + jnp.where(prec, wk, jnp.zeros((), a.dtype))
+    upper = lower + w
 
-
-def mix_pair_bitonic_ref(tau_mixed, tau_next, wxy_row, wbin_e):
-    """Pure-jnp version of the kernel body (shared by the Pallas kernel and
-    used as its oracle). Inputs (R, 8); ``wxy_row`` (1, 64) traced array;
-    ``wbin_e`` a tuple of python floats (array constants cannot be captured
-    inside Pallas kernels)."""
-    R = tau_mixed.shape[0]
-    a = jnp.broadcast_to(tau_mixed[:, :, None], (R, NBIN, NBIN)).reshape(R, NPAIR)
-    b = jnp.broadcast_to(tau_next[:, None, :], (R, NBIN, NBIN)).reshape(R, NPAIR)
-    tau_xy = a + b
-    w = jnp.broadcast_to(wxy_row, tau_xy.shape)
-    tau_s, w_s = _bitonic_sort_with_payload(tau_xy, w)
-    cs = _cumsum_lanes(w_s)
-    lower = cs - w_s
-    upper = cs
-    # direct overlap sums per target bin (NOT cumulative-F differences, which
-    # cancel catastrophically in float32)
     cols = []
-    for jj in range(NBIN):
-        e_lo = float(wbin_e[jj])
-        e_hi = float(wbin_e[jj + 1])
-        overlap = jnp.clip(
-            jnp.minimum(upper, e_hi) - jnp.maximum(lower, e_lo), 0.0, None
-        )
-        cols.append(jnp.sum(tau_s * overlap, axis=-1) * (1.0 / (e_hi - e_lo)))
-    return jnp.stack(cols, axis=-1)  # (R, 8)
+    for jj in range(nbin):
+        e_lo = wbin_e_c[jj]
+        e_hi = wbin_e_c[jj + 1]
+        ov = jnp.clip(jnp.minimum(upper, e_hi) - jnp.maximum(lower, e_lo), 0.0, None)
+        cols.append(jnp.sum(keys * ov, axis=0, keepdims=True) * (1.0 / (e_hi - e_lo)))
+    return jnp.concatenate(cols, axis=0)  # (nbin, L)
 
 
-def k_rorr_mix_pallas(tau_ks, wbin, wbin_e):
-    """RORR mixing over all k-species via the fused kernel.
+def mix_pair_rank_ref(a_rows, b_rows, wxy, wbin_e):
+    """Row-layout oracle: (R, nbin) x (R, nbin) -> (R, nbin), pure jnp.
 
-    ``tau_ks``: (nk, ..., 8) traced; ``wbin``/``wbin_e`` concrete numpy.
-    Drop-in equivalent of ops.rorr.k_rorr_mix on TPU.
+    ``wxy``/``wbin_e`` concrete 1-D arrays. Mirrors the kernel body exactly
+    (same tie-break), for interpret-mode / CPU equality tests.
     """
-    import numpy as np
-
-    nk = tau_ks.shape[0]
-    out_shape = tau_ks.shape[1:]
-    wxy = np.outer(np.asarray(wbin), np.asarray(wbin)).reshape(-1)
-    mixed = tau_ks[0].reshape(-1, NBIN)
-    for i in range(1, nk):
-        mixed = rorr_mix_pair_pallas(
-            mixed, tau_ks[i].reshape(-1, NBIN), wxy, wbin_e
-        )
-    return mixed.reshape(out_shape)
-
-
-def rorr_mix_pair_pallas(tau_mixed, tau_next, wxy, wbin_e, block_r=512):
-    """One RORR combine step on a flat row batch: (R, 8) x (R, 8) -> (R, 8).
-
-    ``wxy``/``wbin_e`` must be concrete (host numpy) — they are baked into
-    the kernel as constants.
-    """
-    import numpy as np
-
-    R = tau_mixed.shape[0]
-    rb = min(block_r, R)
-    grid = (pl.cdiv(R, rb),)
-    dt = tau_mixed.dtype
+    nbin = a_rows.shape[-1]
     wbin_e_c = tuple(float(x) for x in np.asarray(wbin_e))
-    wxy_arr = jnp.asarray(np.asarray(wxy), dtype=tau_mixed.dtype)[None, :]
+    wxy_col = jnp.asarray(np.asarray(wxy), dtype=a_rows.dtype)[:, None]
+    out_T = _mix_one_rank(a_rows.T, b_rows.T, wxy_col, wbin_e_c, nbin)
+    return out_T.T
 
-    def kernel(a_ref, b_ref, wxy_ref, out_ref):
-        out_ref[...] = mix_pair_bitonic_ref(
-            a_ref[...], b_ref[...], wxy_ref[...], wbin_e_c
-        )
 
-    spec = pl.BlockSpec((rb, NBIN), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((1, NPAIR), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec, spec, wspec],
+def _kernel_factory(nbin, wbin_e_c, n_steps):
+    def kernel(*refs):
+        out_ref = refs[-1]
+        wxy_col = refs[-2][...]
+        mixed = refs[0][...]
+        for b_ref in refs[1 : n_steps + 1]:
+            mixed = _mix_one_rank(mixed, b_ref[...], wxy_col, wbin_e_c, nbin)
+        out_ref[...] = mixed
+
+    return kernel
+
+
+def _pair_weights(wbin):
+    """wxy[p] = wbin[p % nbin] * wbin[p // nbin] (types_create.f90:215-219 up
+    to ordering; the rebin is permutation-invariant given correct pairing)."""
+    wbin = np.asarray(wbin)
+    return np.outer(wbin, wbin).reshape(-1)  # symmetric: order-free
+
+
+def k_rorr_mix_pallas(tau_ks, wbin, wbin_e, block_l=1024, interpret=False):
+    """RORR-mix per-species k-term optical depths in one fused kernel.
+
+    ``tau_ks``: (nk, ..., nbin) traced; ``wbin``/``wbin_e`` concrete numpy.
+    Drop-in equivalent of ops.rorr.k_rorr_mix. The intermediate mixed
+    distribution between species never leaves VMEM.
+    """
+    nk = tau_ks.shape[0]
+    nbin = tau_ks.shape[-1]
+    out_shape = tau_ks.shape[1:]
+    dt = tau_ks.dtype
+    wbin_e_c = tuple(float(x) for x in np.asarray(wbin_e))
+    wxy_col = jnp.asarray(_pair_weights(wbin), dtype=dt)[:, None]
+    npair = nbin * nbin
+
+    tau_T = tau_ks.reshape(nk, -1, nbin)
+    tau_T = jnp.swapaxes(tau_T, 1, 2)  # (nk, nbin, R)
+    R = tau_T.shape[-1]
+    lb = min(block_l, R)
+
+    spec = pl.BlockSpec((nbin, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((npair, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kwargs = {"interpret": True} if interpret else {}
+    out_T = pl.pallas_call(
+        _kernel_factory(nbin, wbin_e_c, nk - 1),
+        grid=(pl.cdiv(R, lb),),
+        in_specs=[spec] * nk + [wspec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((R, NBIN), dt),
-    )(tau_mixed, tau_next, wxy_arr)
+        out_shape=jax.ShapeDtypeStruct((nbin, R), dt),
+        **kwargs,
+    )(*[tau_T[i] for i in range(nk)], wxy_col)
+    return jnp.swapaxes(out_T, 0, 1).reshape(out_shape)
+
+
+def rorr_mix_pair_pallas(tau_mixed, tau_next, wxy, wbin_e, block_r=1024,
+                         interpret=False):
+    """One RORR combine step on a flat row batch: (R, nbin) x (R, nbin).
+
+    ``wxy``/``wbin_e`` must be concrete (host numpy). Kept for tests and
+    incremental use; k_rorr_mix_pallas fuses the whole species chain.
+    """
+    stacked = jnp.stack([tau_mixed, tau_next], axis=0)  # (2, R, nbin)
+    nbin = tau_mixed.shape[-1]
+    # recover wbin from wxy row sums (wxy = outer(wbin, wbin))
+    wxy_m = np.asarray(wxy).reshape(nbin, nbin)
+    wbin = wxy_m.sum(axis=1) / wxy_m.sum() ** 0.5
+    return k_rorr_mix_pallas(stacked, wbin, wbin_e, block_l=block_r,
+                             interpret=interpret)

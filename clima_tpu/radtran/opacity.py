@@ -21,10 +21,37 @@ from ..ops.rorr import k_rorr_mix, k_aee_mix
 from ..ops.interp import hat_weights
 from .data import OpticalData
 
-__all__ = ["compute_opacity"]
+__all__ = ["compute_opacity", "set_rorr_pallas_mode"]
 
-# opt-in fused Pallas RORR kernel (see the dispatch comment in compute_opacity)
-USE_PALLAS_RORR = False
+# Fused-Pallas RORR dispatch, mirroring ops.twostream.set_pallas_mode:
+# "auto" uses the sort-free rank kernel (ops.pallas_rorr) on TPU — ~1.5x the
+# XLA lax.sort path at the flagship batch — and XLA elsewhere.
+_RORR_PALLAS_MODE = "auto"
+
+
+def set_rorr_pallas_mode(name: str):
+    """Select the RORR backend: "auto" (Pallas on TPU), "never", "always".
+
+    Takes effect at trace time: a live ``Radtran`` caches jitted programs,
+    so call its ``_build_jit()`` (or construct a new one) after switching.
+    """
+    global _RORR_PALLAS_MODE
+    if name not in ("auto", "never", "always"):
+        raise ValueError(name)
+    _RORR_PALLAS_MODE = name
+
+
+def _use_pallas_rorr():
+    if _RORR_PALLAS_MODE == "always":
+        return True
+    if _RORR_PALLAS_MODE == "never":
+        return False
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _interp_table_T_log10(temp_grid, table, T):
@@ -101,13 +128,10 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
         # implemented here as a sort-free fast path (ops.rorr.k_aee_mix)
         tau_kmix = k_aee_mix(tau_ks, jnp.asarray(op.kset.wbin))  # (W, nz, G)
     else:
-        # RORR (k_rorr, types.f90:780-888). A fused Pallas bitonic kernel
-        # exists (ops.pallas_rorr) but is opt-in: its 21-stage unrolled sort
-        # network compiles very slowly through this environment's remote TPU
-        # toolchain, so the default stays on the XLA lax.sort path.
-        from . import opacity as _self_mod
-
-        if _self_mod.USE_PALLAS_RORR and op.kset.nbin == 8:
+        # RORR (k_rorr, types.f90:780-888). On TPU the fused sort-free rank
+        # kernel keeps the whole species chain in VMEM (ops.pallas_rorr);
+        # the XLA lax.sort path is the CPU default and cross-check oracle.
+        if _use_pallas_rorr() and op.kset.nbin <= 16 and tau_ks.shape[0] >= 2:
             from ..ops.pallas_rorr import k_rorr_mix_pallas
 
             tau_kmix = k_rorr_mix_pallas(tau_ks, op.kset.wbin, op.kset.wbin_e)

@@ -12,7 +12,7 @@ from unittest import mock
 
 from clima_tpu.ops.twostream import two_stream_solar, two_stream_ir
 from clima_tpu.ops import pallas_twostream as pts
-from clima_tpu.ops.pallas_rorr import rorr_mix_pair_pallas, mix_pair_bitonic_ref
+from clima_tpu.ops.pallas_rorr import rorr_mix_pair_pallas, mix_pair_rank_ref
 from clima_tpu.ops.rorr import _mix_pair, make_wxy
 from clima_tpu.physics.eqns import planck_fcn
 
@@ -81,15 +81,30 @@ def test_rorr_kernel_matches_sort_path(interpret):
     np.testing.assert_allclose(got, ref, rtol=1e-9)
 
 
-def test_bitonic_tie_handling():
-    """Equal keys must not duplicate/lose payload weights."""
+def test_rank_ref_tie_handling():
+    """Equal keys must get distinct rank windows (no weight duplication)."""
     R = 16
     a = np.full((R, 8), 0.25)
     b = np.full((R, 8), 0.5)  # all 64 pair sums identical
     w = np.full(8, 0.125)
     wbin_e = np.concatenate([[0.0], np.cumsum(w)])
     wxy = np.asarray(make_wxy(w))
-    got = np.asarray(mix_pair_bitonic_ref(jnp.asarray(a), jnp.asarray(b),
-                                          jnp.asarray(wxy)[None, :],
-                                          tuple(wbin_e)))
+    got = np.asarray(mix_pair_rank_ref(jnp.asarray(a), jnp.asarray(b),
+                                       wxy, wbin_e))
     np.testing.assert_allclose(got, 0.75, rtol=1e-12)
+
+
+def test_fused_chain_matches_sequential_xla(interpret):
+    """k_rorr_mix_pallas over 3 species == ops.rorr.k_rorr_mix."""
+    from clima_tpu.ops.pallas_rorr import k_rorr_mix_pallas
+    from clima_tpu.ops.rorr import k_rorr_mix
+
+    rng = np.random.default_rng(5)
+    tau_ks = 10 ** rng.uniform(-6, 1, (3, 7, 11, 8))
+    w = rng.uniform(0.5, 1.5, 8)
+    wbin = w / w.sum()
+    wbin_e = np.concatenate([[0.0], np.cumsum(wbin)])
+    ref = np.asarray(k_rorr_mix(jnp.asarray(tau_ks), jnp.asarray(wbin_e)))
+    got = np.asarray(k_rorr_mix_pallas(jnp.asarray(tau_ks), wbin, wbin_e,
+                                       block_l=32))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
