@@ -76,12 +76,21 @@ def _interp_ktable(kt, log10P, T):
 
     Matches the clamped 2-D interpolation at types.f90:649-662, expressed as
     a hat-basis contraction: (nz, P)x(nz, T) weight matrices against the
-    (G, P, T, W) table — one MXU matmul instead of 4 XLA gathers.
+    (G, P, T, W) table — one MXU matmul instead of 4 XLA gathers. The
+    contraction order is forced: build the small (nz, P*T) bilinear-weight
+    matrix first, then one (nz, PT) @ (PT, GW) matmul. (A single einsum lets
+    XLA contract zp with gptw first, materializing an (nz, G, T, W) tensor
+    ~40x larger than the output — measured 66 ms vs 9 ms at the flagship
+    batch.)
     """
     Wp = hat_weights(jnp.asarray(kt.log10P), log10P)  # (nz, P)
     Wt = hat_weights(jnp.asarray(kt.temp), T)  # (nz, T)
+    nz = Wp.shape[0]
+    Wpt = (Wp[:, :, None] * Wt[:, None, :]).reshape(nz, -1)  # (nz, P*T)
     tab = jnp.asarray(kt.log10k)  # (G, P, T, W)
-    logk = jnp.einsum("zp,zt,gptw->zgw", Wp, Wt, tab)
+    G, P, Tn, Wn = tab.shape
+    tab2d = jnp.transpose(tab, (1, 2, 0, 3)).reshape(P * Tn, G * Wn)
+    logk = (Wpt @ tab2d).reshape(nz, G, Wn)
     return 10.0**logk  # (nz, G, W)
 
 
