@@ -78,7 +78,19 @@ def main():
         return fdn_sol[-1] - fup_sol[-1], -(fdn_ir[-1] - fup_ir[-1])
 
     B = int(os.environ.get("BENCH_COLUMNS", "256"))
-    fn = jax.jit(jax.vmap(radiate_one))
+    # K distinct evaluations per dispatch: one host<->device sync through the
+    # axon relay costs ~60 ms, which would otherwise be charged to the chip.
+    K = int(os.environ.get("BENCH_INNER", "8"))
+
+    def radiate_many(T_surf, T, P, dens, dz):
+        acc_isr, acc_olr = 0.0, 0.0
+        for i in range(K):
+            isr, olr = radiate_one(T_surf * (1.0 + 1e-6 * i), T, P, dens, dz)
+            acc_isr = acc_isr + isr
+            acc_olr = acc_olr + olr
+        return acc_isr, acc_olr
+
+    fn = jax.jit(jax.vmap(radiate_many))
 
     rng = np.random.default_rng(0)
     T_surf_b = jnp.asarray(rng.uniform(280.0, 295.0, B))
@@ -104,7 +116,7 @@ def main():
 
     ngauss = op.kset.nbin
     solves_per_column = ir.nw * ngauss * 1 + sol.nw * ngauss * n_zen
-    total_solves = solves_per_column * B * n_iter
+    total_solves = solves_per_column * B * n_iter * K
     rate = total_solves / dt
 
     print(
