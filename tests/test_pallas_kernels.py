@@ -94,14 +94,15 @@ def test_rank_ref_tie_handling():
     np.testing.assert_allclose(got, 0.75, rtol=1e-12)
 
 
-def test_fused_chain_matches_sequential_xla(interpret):
-    """k_rorr_mix_pallas over 3 species == ops.rorr.k_rorr_mix."""
+@pytest.mark.parametrize("nbin", [8, 16])
+def test_fused_chain_matches_sequential_xla(interpret, nbin):
+    """k_rorr_mix_pallas over 3 species == ops.rorr.k_rorr_mix (nbin 8, 16)."""
     from clima_tpu.ops.pallas_rorr import k_rorr_mix_pallas
     from clima_tpu.ops.rorr import k_rorr_mix
 
     rng = np.random.default_rng(5)
-    tau_ks = 10 ** rng.uniform(-6, 1, (3, 7, 11, 8))
-    w = rng.uniform(0.5, 1.5, 8)
+    tau_ks = 10 ** rng.uniform(-6, 1, (3, 7, 11, nbin))
+    w = rng.uniform(0.5, 1.5, nbin)
     wbin = w / w.sum()
     wbin_e = np.concatenate([[0.0], np.cumsum(wbin)])
     ref = np.asarray(k_rorr_mix(jnp.asarray(tau_ks), jnp.asarray(wbin_e)))
