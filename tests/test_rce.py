@@ -154,3 +154,40 @@ def test_batched_jacobian_matches_serial(c):
         c.compute_solar_in_jac = old
 
     np.testing.assert_allclose(jac_batched, jac_serial, rtol=1e-8, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def c_part(tmp_path_factory):
+    """AdiabatClimate with a particle species (test_adiabat.f90:216-230:
+    particle setter feeding RCE)."""
+    root = tmp_path_factory.mktemp("template_rce_part")
+    t = make_template_dir(str(root), nz=12, n_zenith=1, surface_albedo=0.3,
+                          particles=True)
+    c = AdiabatClimate(t["species"], t["settings"], t["star"], t["datadir"])
+    c.verbose = False
+    return c
+
+
+def test_rce_with_particles(c_part):
+    """RCE with a prescribed haze profile: converges and the haze changes
+    the equilibrium relative to the particle-free column."""
+    c = c_part
+    P_i = P_i_earth(c)
+
+    # no particles: baseline equilibrium
+    np_ = len(c.particle_names)
+    P_nodes = np.geomspace(2.0e6, 1.0, 8)
+    c.set_particle_density_and_radii(
+        P_nodes, np.zeros((8, np_)), np.full((8, np_), 1.0e-5))
+    Ts0 = c.surface_temperature(P_i, T_guess=280.0)
+    c.xtol_rc = 1.0e-4  # keep the fixture fast; reference default is 1e-5
+    assert c.RCE(P_i, Ts0, c.T)
+    T_surf_clear = float(c.T_surf)
+
+    # optically active haze aloft
+    c.set_particle_density_and_radii(
+        P_nodes, np.full((8, np_), 5.0e3), np.full((8, np_), 1.0e-5))
+    Ts1 = c.surface_temperature(P_i, T_guess=T_surf_clear)
+    assert c.RCE(P_i, Ts1, c.T)
+    assert np.isfinite(c.T_surf) and np.all(np.isfinite(c.T))
+    assert abs(float(c.T_surf) - T_surf_clear) > 1.0e-3  # haze has an effect
