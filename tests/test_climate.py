@@ -89,3 +89,40 @@ def test_evolve_short(cl, tmp_path):
     assert out["f_total"].shape == (3, cl.nz + 1)
     # temperatures stay physical over the short integration
     assert np.all(out["T"] > 100.0) and np.all(out["T"] < 500.0)
+
+
+def test_device_rhs_matches_host(cl):
+    """The pure-jnp device RHS is an exact transcription of right_hand_side."""
+    import jax
+    import jax.numpy as jnp
+
+    d_host = cl.right_hand_side(cl.T_init)
+    rhs, _ = cl._build_device_fns()
+    d_dev = np.asarray(jax.jit(rhs)(jnp.asarray(cl.T_init)))
+    # dTdt magnitudes are ~1e-5 K/s; atol 5e-15 is ~1e-10 of that scale
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-10, atol=5e-15)
+
+
+def test_evolve_device_matches_dop853(cl, tmp_path):
+    """Device RK45 evolve agrees with host DOP853 within the tolerances."""
+    t_eval = np.logspace(3.0, 4.5, 3)
+    f1 = str(tmp_path / "host.npz")
+    f2 = str(tmp_path / "dev.npz")
+    assert cl.evolve(f1, 0.0, np.asarray(cl.T_init), t_eval, overwrite=True)
+    assert cl.evolve(f2, 0.0, np.asarray(cl.T_init), t_eval, overwrite=True,
+                     method="rk45_device")
+    a, b = load_evolve_file(f1), load_evolve_file(f2)
+    assert b["T"].shape == (3, cl.neq)
+    # both integrators run at rtol=1e-4; trajectories agree to that order
+    np.testing.assert_allclose(b["T"], a["T"], rtol=1e-4, atol=1e-3)
+    for key in ["f_total", "fup_ir", "fdn_sol", "P"]:
+        assert np.all(np.isfinite(b[key]))
+
+
+def test_evolve_unknown_method(cl, tmp_path):
+    import pytest as _pytest
+    from clima_tpu.utils.errors import ClimaException
+
+    with _pytest.raises(ClimaException):
+        cl.evolve(str(tmp_path / "x.npz"), 0.0, np.asarray(cl.T_init),
+                  np.array([10.0]), overwrite=True, method="rk99")
