@@ -83,9 +83,15 @@ def main():
     K = int(os.environ.get("BENCH_INNER", "8"))
 
     def radiate_many(T_surf, T, P, dens, dz):
+        # Every input that reaches opacity assembly and the solar path is
+        # perturbed per inner iteration, so the K evaluations are genuinely
+        # distinct subgraphs — XLA CSE cannot deduplicate opacity or the
+        # solar solves across iterations (advisor finding r1: varying only
+        # T_surf let CSE collapse K opacity+solar computations into one).
         acc_isr, acc_olr = 0.0, 0.0
         for i in range(K):
-            isr, olr = radiate_one(T_surf * (1.0 + 1e-6 * i), T, P, dens, dz)
+            s = 1.0 + 1e-6 * i
+            isr, olr = radiate_one(T_surf * s, T * s, P, dens * s, dz)
             acc_isr = acc_isr + isr
             acc_olr = acc_olr + olr
         return acc_isr, acc_olr

@@ -236,6 +236,21 @@ class AdiabatClimate:
         P_e = np.asarray(out["P_e"])
         T_e = np.asarray(out["T_e"])
         f_i_e = np.asarray(out["f_i_e"])
+        # NaN-poison check: heat_capacity returns NaN outside the thermo
+        # tables' temperature ranges (the reference errors there,
+        # clima_eqns.f90:105-133); raising here lets hybrd/PTC backtrack
+        # instead of silently extrapolating the polynomials.
+        if not (
+            np.isfinite(T_e).all()
+            and np.isfinite(P_e).all()
+            and np.isfinite(f_i_e).all()
+        ):
+            raise ClimaException(
+                "profile construction produced non-finite values — most "
+                "likely a temperature outside the thermodynamic data's "
+                "valid range (the reference errors in heat_capacity_eval, "
+                "clima_eqns.f90:105-133)"
+            )
         self.f_i_surf = f_i_e[0].copy()
         self.T_surf = float(T_surf)
         self.P_surf = float(P_e[0])

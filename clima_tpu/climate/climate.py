@@ -197,19 +197,23 @@ class Climate:
     # device-side (TPU-native) path
     # ------------------------------------------------------------------
 
-    def _build_device_fns(self):
+    def _build_device_fns(self, T_freeze=None):
         """Pure-jnp RHS + flux function closed over the frozen column state.
 
         Mirrors right_hand_side exactly; the hydrostatic pressure is frozen
-        at T_init as in the reference (clima_climate_rhs.f90:38-46, "first
-        call only").
+        at the temperature of the FIRST RHS call — i.e. the integration's
+        T_start, not T_init — matching the reference's first-call switch
+        (clima_climate_rhs.f90:38-46). ``T_freeze`` is the full (neq,)
+        starting state; defaults to T_init for standalone flux evaluation.
         """
         from ..radtran.opacity import compute_opacity
         from ..radtran.radiate import radiate_ir, radiate_solar, integrate_fluxes
 
         rad = self.rad
         nz = self.nz
-        T0 = jnp.asarray(self.T_init[1:])
+        if T_freeze is None:
+            T_freeze = self.T_init
+        T0 = jnp.asarray(np.asarray(T_freeze)[1:])
         grav = jnp.asarray(self.grav)
         mubar = jnp.asarray(self.mubar)
         mix = jnp.asarray(self.mix)
@@ -389,7 +393,13 @@ class Climate:
         """TPU-native evolve: one jitted lax.scan over snapshot segments with
         lax.while_loop adaptive Dormand-Prince 5(4) stepping inside, then one
         batched radiate over the snapshots for the output fields."""
-        rhs, fluxes_fn = self._build_device_fns()
+        edges_chk = np.concatenate([[tstart], t_eval])
+        if not np.all(np.diff(edges_chk) > 0):
+            raise ClimaException(
+                "t_eval must be strictly increasing and all > tstart "
+                "(a zero-length segment would spin max_steps rejected steps)"
+            )
+        rhs, fluxes_fn = self._build_device_fns(T_freeze=T_start)
         rtol, atol = self.rtol, self.atol
 
         # Dormand-Prince 5(4) tableau

@@ -55,8 +55,12 @@ def heat_capacity(thermo: GasThermo, T):
     """Heat capacity of every gas at temperature T, J/(mol K).
 
     T is a scalar or broadcastable against (ng,). Out-of-range temperatures
-    clamp to the closest range (the reference errors; we clamp, which only
-    matters in transient solver states).
+    return NaN (NaN-poison): the reference's heat_capacity_eval reports
+    "not found" outside the tables' ranges and every caller turns that into
+    a hard error (clima_eqns.f90:105-133), which is what keeps HYBRD/PTC
+    trial steps inside physical territory. Device code cannot raise, so the
+    poison propagates to the facade, where finiteness checks raise
+    ClimaException (make_profile*, objective functions).
     """
     T = jnp.asarray(T)
     # find the temperature range for each gas
@@ -69,7 +73,11 @@ def heat_capacity(thermo: GasThermo, T):
     ).squeeze(-2)
     cp_sh = eqns.heat_capacity_shomate(coeffs[..., :7], T)
     cp_n9 = eqns.heat_capacity_nasa9(coeffs, T)
-    return jnp.where(thermo.model == SHOMATE, cp_sh, cp_n9)
+    cp = jnp.where(thermo.model == SHOMATE, cp_sh, cp_n9)
+    in_range = (T[..., None] >= thermo.temps[..., :1]) & (
+        T[..., None] < thermo.temps[..., -1:]
+    )
+    return jnp.where(in_range.squeeze(-1), cp, jnp.nan)
 
 
 @dataclasses.dataclass

@@ -145,6 +145,20 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
 
             tau_kmix = k_rorr_mix_pallas(tau_ks, op.kset.wbin, op.kset.wbin_e)
         else:
+            if _use_pallas_rorr() and op.kset.nbin > 16:
+                # the rank kernel is O(nbin^4) per species pair; past
+                # nbin=16 it loses to the XLA sort path (measured in
+                # scripts/rorr_crossover.py, documented in PARITY.md), so
+                # fall back — loudly, since the user asked for Pallas.
+                import warnings
+
+                warnings.warn(
+                    f"Pallas RORR requested but nbin={op.kset.nbin} > 16: "
+                    "falling back to the XLA sort-based k-mixing path "
+                    "(the rank kernel is O(nbin^4) per pair and slower "
+                    "past nbin=16; see PARITY.md).",
+                    stacklevel=2,
+                )
             tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))
 
     # --- Rayleigh scattering ---

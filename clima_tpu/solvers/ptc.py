@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 from scipy.linalg import solve_banded
 
+from ..utils.errors import ClimaException
+
 __all__ = ["PTCSolver", "PTC_CONVERGED_USER", "PTC_REASONS"]
 
 PTC_REASON_NONE = 0
@@ -220,6 +222,14 @@ class PTCSolver:
             # TSPSEUDO timestep update (clima_ptc.f90:744-770)
             if self.compute_dt is not None:
                 next_dt = self.compute_dt(self)
+                # a broken user callback is an error, not something to paper
+                # over (the reference's PTCSolver_compute_next_dt errors on
+                # non-positive next_dt)
+                if not np.isfinite(next_dt) or next_dt <= 0.0:
+                    raise ClimaException(
+                        f"user compute_dt returned a non-finite or "
+                        f"non-positive timestep ({next_dt!r})"
+                    )
             else:
                 if self.fnorm == 0.0:
                     next_dt = 1.0e12 * self.dt_increment * self.dt
