@@ -1,0 +1,852 @@
+"""Device-side batched radiative-convective equilibrium.
+
+The host solver (:mod:`clima_tpu.adiabat.rce`) reproduces
+``src/adiabat/clima_adiabat_solve.f90`` with numpy zone bookkeeping, scipy
+HYBRJ and serial mask updates — one column per call. This module re-poses the
+ENTIRE RCE loop as one jittable pure function of the column inputs, so it can
+be ``vmap``-ed over 10^4+ columns and sharded over a ``columns`` device mesh
+(the BASELINE.md ensemble target).
+
+TPU-native design decisions (vs the reference's dynamic-size formulation):
+
+* **Fixed-size masked DOF vector.** The reference shrinks the unknown vector
+  as convection grows (``inds_Tx``, solve.f90:868-877). Here the unknown is
+  always the full (nz+1) temperature vector [T_surf, T_1..T_nz]; rows whose
+  layer convects with below ("slaved" rows) carry residual 0 and an identity
+  Jacobian column, so the embedded linear system is the reference's reduced
+  system padded to static shape. After every profile rebuild the slaved
+  entries are refreshed with the adiabat temperatures (make_profile_rc_core
+  already returns them), keeping the vector model-consistent.
+
+* **Segment-sum residual assembly.** The reference's per-zone flux and
+  heat-capacity sums (solve.f90:1212-1327) become ``jax.ops.segment_sum``
+  over zone labels ``cumsum(~conv) - 1`` — each non-slaved row starts its
+  own segment, so a radiative row is a singleton zone and a convective zone
+  sums from its anchor up to its top. No gathers, no host bookkeeping.
+
+* **Batched-IR finite-difference Jacobian.** As in the reference
+  (solve.f90:768-822), opacity is frozen and solar RT is not recomputated in
+  the Jacobian; all nz+1 zone-block temperature perturbations run through
+  ONE vmapped IR radiate on the frozen opacity.
+
+* **One unified damped-Newton/PTC stage loop.** The reference's strategy
+  1/2/3 (HYBRJ / PTC->HYBRJ / HYBRJ->PTC->HYBRJ, solve.f90:259-303) with the
+  seed-perturbation ladder 0,-1,+2,-3 K (solve.f90:405-436) is a single
+  ``lax.while_loop`` whose body switches the step rule by stage kind:
+  Newton ``J s = -f`` with backtracking line search, or pseudo-transient
+  ``(I/dt - J) s = f`` with TSPSEUDO dt growth (clima_ptc.f90:744-770).
+  Convergence is the reference's custom rule max|F/F0| < xtol_rc
+  (solve.f90:620-646).
+
+* **Mask updates as pure array ops.** Modes 1/2/3 with hysteresis
+  (solve.f90:899-1112) and the boundary-shift limiter (solve.f90:1118-1210)
+  are vectorized over zones via run-labeling + segment reductions; the
+  convection mask is a traced boolean array, so mask changes never
+  recompile. Mode 3's sequential cascade (extending a zone top can expose
+  the next layer within the same sweep) is reproduced by iterating the
+  parallel one-step rule to a fixed point (extensions only; the
+  single-retraction-per-zone behavior matches the host's one pass).
+
+Cancellation safety: the energy-balance residual differences net fluxes that
+are ~1e-8 of the fluxes themselves. ``_net_edge_parts`` rebuilds the edge
+profile from the PER-BIN flux arrays — adjacent-edge differences of nearby
+floats are exact (Sterbenz) — and accumulates the frequency integral and the
+cumulative sum in float64 when x64 is enabled (see
+``rce._f_total_edges_precise`` for the analysis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import constants as const
+from ..config.species import heat_capacity
+from .profile_rc import make_profile_rc_core, CustomMix
+from .altitude import compute_altitude_core
+from ..radtran.opacity import compute_opacity
+from ..radtran.radiate import radiate_ir, radiate_solar
+from ..utils.errors import ClimaException
+
+__all__ = ["build_rce_fns", "batched_rce"]
+
+# solver stage kinds
+_NEWTON = 0
+_PTC = 1
+
+# reference retry ladder: perturbation = +k for even k, -k for odd k,
+# giving 0, -1, +2, -3 (clima_adiabat_solve.f90:405-411)
+_SEED_PERTS = np.array([0.0, -1.0, 2.0, -3.0])
+
+
+def _acc_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600,
+                  max_line_search=8):
+    """Build the pure single-column RCE functions from an AdiabatClimate.
+
+    All configuration (tolerances, hysteresis knobs, strategy, opacity data)
+    is read from ``c`` at build time and closed over as static values —
+    changing knobs on ``c`` afterwards requires rebuilding.
+
+    Returns a dict of functions; the main entry is
+    ``rce(x0, conv0, use_guess, P_i_surf) -> result dict``.
+    """
+    if not c.double_radiative_grid:
+        raise ClimaException("device RCE requires double_radiative_grid=True")
+    if c.tidally_locked_dayside:
+        raise ClimaException(
+            "device RCE does not support tidally_locked_dayside (use the "
+            "host solver c.RCE)"
+        )
+    if c.compute_solar_in_jac:
+        raise ClimaException(
+            "device RCE implements the default compute_solar_in_jac=False "
+            "Jacobian (solar frozen); use the host solver otherwise"
+        )
+
+    par = dataclasses.replace(c._par, P_top=float(c.P_top))
+    nz = c.nz
+    n = nz + 1
+    ng = c.sp.ng
+    RH = jnp.asarray(c.RH)
+    if hasattr(c, "_cm_arrays"):
+        cm = CustomMix(*c._cm_arrays)
+    else:
+        from .rce import _default_custom
+
+        cm = CustomMix(*_default_custom(c))
+
+    rad = c.rad
+    op = rad.op
+    ir_slice = (rad.ir.ind_start, rad.ir.ind_end)
+    sol_slice = (rad.sol.ind_start, rad.sol.ind_end)
+    freq_master = jnp.asarray(op.freq)
+    wavl_master = jnp.asarray(op.wavl)
+    wbin = jnp.asarray(op.kset.wbin)
+    emissivity = jnp.asarray(rad.surface_emissivity)
+    albedo = jnp.asarray(rad.surface_albedo)
+    photons = jnp.asarray(rad.photons_sol * rad.photon_scale_factor)
+    zenith_u = jnp.asarray(rad.zenith_u)
+    zenith_w = jnp.asarray(rad.zenith_weights)
+    diurnal = float(rad.diurnal_fac)
+    has_hard = bool(rad.has_hard_surface)
+    ir_tau_min = float(rad.ir_tau_min)
+    gas_masses = jnp.asarray(c.sp.gas_masses)
+    freq_ir = freq_master[ir_slice[0] : ir_slice[1] + 2]
+    freq_sol = freq_master[sol_slice[0] : sol_slice[1] + 2]
+
+    np_ = c.sp.np_
+    if np_ > 0:
+        pl_logP = jnp.asarray(c._particle_log10P)
+        pl_dens = jnp.asarray(c._particle_log10_dens)
+        pl_radii = jnp.asarray(c._particle_log10_radii)
+
+    epsj = float(c.epsj)
+    xtol_rc = float(c.xtol_rc)
+    shf = float(c.surface_heat_flow)
+    # characteristic flux (solve.f90:620-634)
+    char = max(abs(rad.bolometric_flux() / 4.0 + shf * 1.0e-3), 1.0e-6)
+    dt_increment = float(c.dt_increment)
+    strategy = int(c.rce_solve_strategy)
+    newton_alpha0 = 1.0
+    hyst_on = float(c.convective_hysteresis_frac_on)
+    hyst_off = float(c.convective_hysteresis_frac_off)
+    hyst_min = float(c.convective_hysteresis_min)
+    shift = int(c.convective_max_boundary_shift)
+    newton_step_size = float(c.convective_newton_step_size)
+    max_rc_iters = int(c.max_rc_iters)
+    max_rc_iters_convection = int(c.max_rc_iters_convection)
+    require_mode2 = bool(c.require_mode2)
+    prevent_overconvection = bool(c.prevent_overconvection)
+    ref_pressure = float(c.reference_pressure)
+
+    # stage list per strategy (solve.f90:259-303)
+    if strategy == 1:
+        stage_kinds = np.array([_NEWTON])
+    elif strategy == 2:
+        stage_kinds = np.array([_PTC, _NEWTON])
+    elif strategy == 3:
+        stage_kinds = np.array([_NEWTON, _PTC, _NEWTON])
+    else:
+        raise ClimaException("Invalid rce_solve_strategy.")
+    n_stages = len(stage_kinds)
+    stage_kinds_j = jnp.asarray(stage_kinds)
+    seed_perts_j = jnp.asarray(_SEED_PERTS)
+
+    idx_rows = jnp.arange(n)
+    idx_layers = jnp.arange(nz)
+
+    # ------------------------------------------------------------------
+    # profile rebuild (no RT)
+    # ------------------------------------------------------------------
+
+    def rebuild(x, conv, P_i_surf):
+        """make_profile_rc + altitude + densities + particles; no RT."""
+        out = make_profile_rc_core(par, RH, x[0], x[1:], P_i_surf, conv, cm)
+        P_e = out["P_e"]
+        P_c = P_e[1::2]
+        T_c = out["T"]
+        f_c = out["f_i_e"][1::2]
+        mubar = f_c @ gas_masses
+        mubar_surf = out["f_i_e"][0] @ gas_masses
+        alt = compute_altitude_core(
+            P_c, T_c, mubar, out["P_surf"], x[0], mubar_surf, par.P_top,
+            par.planet_mass, par.planet_radius, ref_pressure,
+        )
+        density = P_c / (const.k_boltz * T_c)
+        dens = f_c * density[:, None]
+        lr_e = out["lapse_rate_e"]
+        # edge->layer mapping of the intended adiabat (rce.py make_profile_rc)
+        lr_intended = jnp.concatenate([lr_e[:1], lr_e[1:-1:2][: nz - 1]])
+        x_model = jnp.concatenate([x[:1], T_c])
+        # actual lapse rate dlnT/dlnP (adiabat.py _set_lapse_rates)
+        logT = jnp.log(x_model)
+        logP = jnp.log(jnp.concatenate([out["P_surf"][None], P_c]))
+        lr_actual = jnp.diff(logT) / jnp.diff(logP)
+        prof = dict(
+            P_surf=out["P_surf"], P_c=P_c, T_c=T_c, f_c=f_c, dz=alt["dz"],
+            dens=dens, x_model=x_model, lr_intended=lr_intended,
+            lr_actual=lr_actual, N_surface=out["N_surface"], z=alt["z"],
+        )
+        if np_ > 0:
+            lg = jnp.log10(P_c)
+            interp_cols = jax.vmap(
+                lambda col: jnp.interp(lg, pl_logP, col), in_axes=1, out_axes=1
+            )
+            prof["pdens"] = 10.0 ** interp_cols(pl_dens)
+            prof["pradii"] = 10.0 ** interp_cols(pl_radii)
+        return prof
+
+    def to_radiative_grid(a):
+        """Doubled grid + 2 ghost layers (clima_adiabat.f90:729-773)."""
+        rep = jnp.repeat(a, 2, axis=0)
+        return jnp.concatenate([rep, a[-1:], a[-1:]], axis=0)
+
+    # ------------------------------------------------------------------
+    # RT + cancellation-safe edge flux assembly
+    # ------------------------------------------------------------------
+
+    def _net_edge_parts(fup_a, fdn_a, freq_channel):
+        """(base, d): net flux at physical edge 0 and its exact edge deltas."""
+        acc = _acc_dtype()
+        net = (fdn_a - fup_a)[0::2][: n]  # physical edges, ground-up
+        dfreq = (freq_channel[:-1] - freq_channel[1:]).astype(acc)
+        base = jnp.sum(net[0].astype(acc) * dfreq)
+        d = jnp.sum(jnp.diff(net, axis=0).astype(acc) * dfreq[None, :], axis=1)
+        return base, d
+
+    def radiate_column(prof, T_surf, T_r):
+        pdens_r = to_radiative_grid(prof["pdens"]) if np_ > 0 else None
+        prad_r = to_radiative_grid(prof["pradii"]) if np_ > 0 else None
+        dz_half = 0.5 * prof["dz"]
+        opr = compute_opacity(
+            op,
+            to_radiative_grid(prof["P_c"]) / 1.0e6,
+            T_r,
+            to_radiative_grid(prof["dens"]),
+            to_radiative_grid(dz_half),
+            pdens_r,
+            prad_r,
+        )
+        ir = radiate_ir(
+            ir_slice, freq_master, wbin, opr, emissivity, has_hard,
+            ir_tau_min, T_surf, T_r,
+        )
+        sol = radiate_solar(
+            sol_slice, freq_master, wavl_master, wbin, opr, albedo, diurnal,
+            photons, zenith_u, zenith_w,
+        )
+        return opr, ir, sol
+
+    def assemble_f_total(b_ir, d_ir, b_sol, d_sol):
+        """f_total at physical edges, ground-up, + surface heat flow at [0]."""
+        f0 = b_ir + b_sol + shf
+        return jnp.concatenate([f0[None], f0 + jnp.cumsum(d_ir + d_sol)])
+
+    # ------------------------------------------------------------------
+    # masked residual assembly (solve.f90:648-739, 1212-1327)
+    # ------------------------------------------------------------------
+
+    def residuals(x_model, conv, f_total, f_c, P_c, dz):
+        """dFdt and dTdt per DOF row; slaved rows carry 0."""
+        conv_t = jnp.concatenate([jnp.zeros(1, bool), conv])  # (n,)
+        fluxes = jnp.concatenate([f_total[:1], jnp.diff(f_total)])
+        T = x_model[1:]
+        density = P_c / (const.k_boltz * T)
+        mubar = f_c @ gas_masses
+        rho = density * (1.0 / const.N_avo) * mubar
+        cp_i = jax.vmap(lambda t: heat_capacity(par.thermo, t))(T)
+        cp = jnp.sum(cp_i * f_c, axis=1) * (1.0 / (mubar * 1.0e-3)) * 1.0e4
+        c_layer = rho * cp * dz
+        c_row = jnp.concatenate([c_layer[:1], c_layer])  # row 0 = surface slab
+        seg = jnp.cumsum(~conv_t) - 1  # zone label per row
+        Fseg = jax.ops.segment_sum(fluxes.astype(c_row.dtype), seg, num_segments=n)
+        Cseg = jax.ops.segment_sum(c_row, seg, num_segments=n)
+        is_dof = ~conv_t
+        dFdt = jnp.where(is_dof, Fseg[seg], 0.0)
+        dTdt = jnp.where(is_dof, Fseg[seg] / jnp.maximum(Cseg[seg], 1e-300), 0.0)
+        return dFdt, dTdt
+
+    def flux_ratio(dFdt):
+        """max|F/F0| (solve.f90:620-634)."""
+        return jnp.max(jnp.abs(dFdt)) * 1.0e-3 / char
+
+    # ------------------------------------------------------------------
+    # objective + Jacobian
+    # ------------------------------------------------------------------
+
+    def objective(x, conv, P_i_surf):
+        """Full objective: rebuild, radiate, masked residuals.
+
+        Returns (x_model, dFdt, dTdt, aux); aux carries everything the
+        frozen-opacity Jacobian and mask updates need.
+        """
+        prof = rebuild(x, conv, P_i_surf)
+        x_model = prof["x_model"]
+        T_r = to_radiative_grid(x_model[1:])
+        opr, ir, sol = radiate_column(prof, x_model[0], T_r)
+        b_ir, d_ir = _net_edge_parts(ir["fup_a"], ir["fdn_a"], freq_ir)
+        b_sol, d_sol = _net_edge_parts(sol["fup_a"], sol["fdn_a"], freq_sol)
+        f_total = assemble_f_total(b_ir, d_ir, b_sol, d_sol)
+        dFdt, dTdt = residuals(
+            x_model, conv, f_total, prof["f_c"], prof["P_c"], prof["dz"]
+        )
+        aux = dict(
+            opr=opr, b_sol=b_sol, d_sol=d_sol, f_c=prof["f_c"],
+            P_c=prof["P_c"], dz=prof["dz"], lr_intended=prof["lr_intended"],
+            lr_actual=prof["lr_actual"], f_total=f_total,
+        )
+        return x_model, dFdt, dTdt, aux
+
+    def jacobian(x_model, conv, aux, dTdt_base):
+        """Zone-block FD Jacobian via one vmapped IR radiate
+        (solve.f90:768-822; opacity frozen, solar frozen)."""
+        conv_t = jnp.concatenate([jnp.zeros(1, bool), conv])
+        seg = jnp.cumsum(~conv_t) - 1
+        deltas = epsj * jnp.abs(x_model)
+        block = seg[None, :] == seg[:, None]  # (n pert, n row)
+        T_perts = x_model[None, :] + deltas[:, None] * block
+
+        def one(Ts, T_lay, delta):
+            T_r = to_radiative_grid(T_lay)
+            ir = radiate_ir(
+                ir_slice, freq_master, wbin, aux["opr"], emissivity,
+                has_hard, ir_tau_min, Ts, T_r,
+            )
+            b_ir, d_ir = _net_edge_parts(ir["fup_a"], ir["fdn_a"], freq_ir)
+            f_total = assemble_f_total(b_ir, d_ir, aux["b_sol"], aux["d_sol"])
+            xm = jnp.concatenate([Ts[None], T_lay])
+            _, dTdt_p = residuals(xm, conv, f_total, aux["f_c"], aux["P_c"], aux["dz"])
+            return (dTdt_p - dTdt_base) / delta
+
+        cols = jax.vmap(one)(T_perts[:, 0], T_perts[:, 1:], deltas)  # (n pert, n)
+        J = cols.T  # J[:, j] = d dTdt / d x_j
+        # slaved columns -> identity (the embedded reduced system)
+        eye = jnp.eye(n, dtype=J.dtype)
+        return jnp.where(conv_t[None, :], eye, J)
+
+    # ------------------------------------------------------------------
+    # unified Newton/PTC stage loop (solve.f90:259-303, 379-618)
+    # ------------------------------------------------------------------
+
+    def _valid_temps(x):
+        return jnp.all(jnp.isfinite(x)) & jnp.all(x > 0.5) & jnp.all(x < 6000.0)
+
+    def solve_strategy(x0, conv, P_i_surf):
+        """Run the stage sequence to max|F/F0| < xtol_rc. Returns (x, ok, iters)."""
+        xm0, dFdt0, dTdt0, aux0 = objective(x0, conv, P_i_surf)
+        norm0 = jnp.linalg.norm(dTdt0)
+
+        state0 = dict(
+            x=xm0, dFdt=dFdt0, dTdt=dTdt0, aux=aux0, norm=norm0,
+            x_seed=xm0, stage=jnp.asarray(0), k_seed=jnp.asarray(0),
+            attempt_it=jnp.asarray(0), it=jnp.asarray(0),
+            dt=jnp.asarray(0.0, xm0.dtype), fnorm_prev=norm0,
+            done=jnp.asarray(False), ok=jnp.asarray(False),
+        )
+
+        def cond(st):
+            return ~st["done"]
+
+        def body(st):
+            kind = stage_kinds_j[jnp.clip(st["stage"], 0, n_stages - 1)]
+            is_ptc = kind == _PTC
+
+            ratio = flux_ratio(st["dFdt"])
+            converged = ratio < xtol_rc
+
+            # stage/seed budgets
+            budget = jnp.where(is_ptc, max_ptc_steps, max_newton_iters)
+            attempt_exhausted = st["attempt_it"] >= budget
+            # Newton retries from perturbed seeds (0,-1,+2,-3 K); PTC has no
+            # retry ladder (clima_adiabat_solve.f90:405-436 vs 506-618)
+            can_retry = (~is_ptc) & (st["k_seed"] < 3)
+            do_reset = attempt_exhausted & can_retry & ~converged
+            # stage advance BEFORE stepping: this attempt's budget is spent
+            advance_pre = attempt_exhausted & ~can_retry & ~converged
+
+            J = jacobian(st["x"], conv, st["aux"], st["dTdt"])
+            d_newton = jnp.linalg.solve(J, -st["dTdt"])
+            # PTC dt0 = 0.1/max|diag J| on stage entry (clima_ptc.f90:332-360)
+            maxdiag = jnp.max(jnp.abs(jnp.diagonal(J)))
+            dt0 = jnp.minimum(0.1 / jnp.maximum(maxdiag, 1e-300), 1.0e12)
+
+            # --- trial loop: backtracking (Newton) / dt halving (PTC) ---
+            def t_cond(ts):
+                return (~ts["accepted"]) & (ts["tries"] < max_line_search)
+
+            def t_body(ts):
+                alpha, dtt = ts["alpha"], ts["dt"]
+                eye = jnp.eye(n, dtype=J.dtype)
+                s_ptc = jnp.linalg.solve(eye / jnp.maximum(dtt, 1e-300) - J,
+                                         st["dTdt"])
+                last_try = ts["tries"] == max_line_search - 1
+                # final Newton try: restart from the perturbed seed
+                reset_now = (do_reset | (last_try & ~is_ptc & can_retry)) & ~is_ptc
+                x_try = jnp.where(
+                    reset_now,
+                    st["x_seed"] + seed_perts_j[jnp.clip(st["k_seed"], 0, 3)],
+                    st["x"] + jnp.where(is_ptc, s_ptc, alpha * d_newton),
+                )
+                xm, dFdt_t, dTdt_t, aux_t = objective(x_try, conv, P_i_surf)
+                norm_t = jnp.linalg.norm(dTdt_t)
+                finite = jnp.isfinite(norm_t) & _valid_temps(xm)
+                ratio_t = flux_ratio(dFdt_t)
+                # accept: PTC accepts any finite step (clima_ptc.f90 rejects
+                # only on non-finite residual); Newton needs norm decrease,
+                # a converged trial, or a seed reset
+                accept = finite & (
+                    is_ptc
+                    | (norm_t < st["norm"])
+                    | (ratio_t < xtol_rc)
+                    | reset_now
+                )
+                return dict(
+                    alpha=jnp.where(accept, alpha, alpha * 0.5),
+                    dt=jnp.where(accept | ~is_ptc, dtt, jnp.maximum(dtt * 0.5, 1e-300)),
+                    accepted=accept,
+                    was_reset=reset_now & accept,
+                    tries=ts["tries"] + 1,
+                    x=jnp.where(accept, xm, ts["x"]),
+                    dFdt=jnp.where(accept, dFdt_t, ts["dFdt"]),
+                    dTdt=jnp.where(accept, dTdt_t, ts["dTdt"]),
+                    aux=jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(accept, a, b), aux_t, ts["aux"]
+                    ),
+                    norm=jnp.where(accept, norm_t, ts["norm"]),
+                )
+
+            # a PTC stage with no dt yet (strategy 2 starts with PTC) gets dt0
+            dt_cur = jnp.where(is_ptc & (st["dt"] <= 0.0), dt0, st["dt"])
+            ts0 = dict(
+                alpha=jnp.asarray(newton_alpha0, st["x"].dtype), dt=dt_cur,
+                accepted=jnp.asarray(False), was_reset=jnp.asarray(False),
+                tries=jnp.asarray(0), x=st["x"], dFdt=st["dFdt"],
+                dTdt=st["dTdt"], aux=st["aux"], norm=st["norm"],
+            )
+            ts = jax.lax.while_loop(t_cond, t_body, ts0)
+
+            # stage advance AFTER stepping: no acceptable step exists at this
+            # stage (the reference moves to the next strategy stage)
+            advance = advance_pre | (~ts["accepted"] & ~converged)
+            stage_new = st["stage"] + jnp.where(advance, 1, 0)
+            out_of_stages = stage_new >= n_stages
+            entering_ptc = advance & ~out_of_stages & (
+                stage_kinds_j[jnp.clip(stage_new, 0, n_stages - 1)] == _PTC
+            )
+
+            # freeze the state when converged or advancing (the trial result
+            # of a spent attempt is discarded; the next stage restarts from
+            # the current point, matching run_hybrj -> run_ptc chaining)
+            keep = converged | advance
+            sel = lambda a, b: jnp.where(keep, a, b)
+            x_out = sel(st["x"], ts["x"])
+            dFdt_out = sel(st["dFdt"], ts["dFdt"])
+            dTdt_out = sel(st["dTdt"], ts["dTdt"])
+            aux_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, a, b), st["aux"], ts["aux"]
+            )
+            norm_out = sel(st["norm"], ts["norm"])
+
+            # TSPSEUDO growth on acceptance (clima_ptc.f90:744-770)
+            dt_next = jnp.where(
+                entering_ptc,
+                dt0,
+                jnp.where(
+                    is_ptc & ts["accepted"] & ~keep,
+                    dt_increment * ts["dt"] * st["fnorm_prev"]
+                    / jnp.maximum(ts["norm"], 1e-300),
+                    ts["dt"],
+                ),
+            )
+
+            it = st["it"] + 1
+            done = (
+                converged
+                | (advance & out_of_stages)
+                | (it >= max_total_iters)
+            )
+            return dict(
+                x=x_out, dFdt=dFdt_out, dTdt=dTdt_out, aux=aux_out,
+                norm=norm_out,
+                x_seed=jnp.where(advance, x_out, st["x_seed"]),
+                stage=stage_new,
+                k_seed=jnp.where(
+                    advance, 0, st["k_seed"] + jnp.where(ts["was_reset"], 1, 0)
+                ),
+                attempt_it=jnp.where(
+                    ts["was_reset"] | advance, 0, st["attempt_it"] + 1
+                ),
+                it=it,
+                dt=dt_next,
+                fnorm_prev=jnp.where(
+                    entering_ptc,
+                    norm_out,
+                    jnp.where(is_ptc & ts["accepted"] & ~keep, ts["norm"],
+                              st["fnorm_prev"]),
+                ),
+                done=done,
+                ok=converged,
+            )
+
+        st = jax.lax.while_loop(cond, body, state0)
+        # the pre-loop evaluation may already satisfy the tolerance
+        ok = st["ok"] | (flux_ratio(st["dFdt"]) < xtol_rc)
+        return st["x"], ok, st["it"]
+
+    # ------------------------------------------------------------------
+    # zone labeling + mask limiter (solve.f90:1118-1210)
+    # ------------------------------------------------------------------
+
+    def _runs(mask):
+        """Label maximal True-runs: (zid_eff, lo_z, hi_z) with invalid rows
+        mapped to segment nz (dropped)."""
+        start = mask & ~jnp.concatenate([jnp.zeros(1, bool), mask[:-1]])
+        zid = jnp.cumsum(start) - 1
+        zid_eff = jnp.where(mask, zid, nz)
+        lo_z = jax.ops.segment_min(idx_layers, zid_eff, num_segments=nz + 1)[:nz]
+        hi_z = jax.ops.segment_max(idx_layers, zid_eff, num_segments=nz + 1)[:nz]
+        valid_z = lo_z <= hi_z
+        return zid_eff, lo_z, hi_z, valid_z
+
+    def _window_any(values, starts, count, valid):
+        """any(values[starts + s] for s in 0..count-1), all indices in range."""
+        acc = jnp.zeros_like(valid)
+        for s in range(count):
+            idx = starts + s
+            in_range = (idx >= 0) & (idx < nz)
+            acc = acc | (jnp.take(values, jnp.clip(idx, 0, nz - 1)) & in_range & valid)
+        return acc
+
+    def apply_mask_limiter(save, candidate, difference, no_conv_to_rad, lr_intended):
+        if shift < 0:
+            return candidate
+        if shift == 0:
+            return save
+        result = save
+        zid_eff, lo_z, hi_z, valid_z = _runs(save)
+        cand_at = lambda i: jnp.take(candidate, jnp.clip(i, 0, nz - 1))
+
+        # grow downward: candidate[lo] and the full window below in range
+        grow_dn = (
+            valid_z & cand_at(lo_z) & (lo_z - shift >= 0)
+            & _window_any(candidate, lo_z - shift, shift, valid_z)
+        )
+        # grow upward
+        grow_up = (
+            valid_z & cand_at(hi_z) & (hi_z + shift < nz)
+            & _window_any(candidate, hi_z + 1, shift, valid_z)
+        )
+        # shrink (only when allowed and the zone is longer than the shift)
+        zone_len = hi_z - lo_z + 1
+        can_shrink = valid_z & jnp.logical_not(no_conv_to_rad) & (shift < zone_len)
+        shrink_lo = can_shrink & ~_window_any(candidate, lo_z, shift, valid_z)
+        shrink_hi = can_shrink & ~_window_any(
+            candidate, hi_z - shift + 1, shift, valid_z
+        )
+        for s in range(shift):
+            drop = lambda i, g: jnp.where(g, jnp.clip(i, 0, nz), nz)
+            result = result.at[drop(lo_z - 1 - s, grow_dn)].set(True, mode="drop")
+            result = result.at[drop(hi_z + 1 + s, grow_up)].set(True, mode="drop")
+            result = result.at[drop(lo_z + s, shrink_lo)].set(False, mode="drop")
+            result = result.at[drop(hi_z - s, shrink_hi)].set(False, mode="drop")
+
+        # new convective islands need strong instability (solve.f90:1180-1207)
+        isl = candidate & ~save
+        zid_i, lo_i, hi_i, valid_i = _runs(isl)
+        thresh = jnp.maximum(
+            hyst_min,
+            hyst_on
+            * jax.ops.segment_max(
+                jnp.abs(lr_intended), zid_i, num_segments=nz + 1
+            )[:nz],
+        )
+        maxdiff = jax.ops.segment_max(difference, zid_i, num_segments=nz + 1)[:nz]
+        island_ok = valid_i & (maxdiff > thresh)
+        lo_of_row = jnp.take(
+            jnp.concatenate([lo_i, jnp.zeros(1, lo_i.dtype)]), zid_i
+        )
+        row_on = (
+            isl
+            & jnp.take(jnp.concatenate([island_ok, jnp.zeros(1, bool)]), zid_i)
+            & (idx_layers - lo_of_row < 2 * shift)
+        )
+        return result | row_on
+
+    # ------------------------------------------------------------------
+    # mask updates (solve.f90:899-1112)
+    # ------------------------------------------------------------------
+
+    def _thresholds(lr_intended):
+        on = jnp.maximum(hyst_min, hyst_on * jnp.abs(lr_intended))
+        off = jnp.maximum(hyst_min, hyst_off * jnp.abs(lr_intended))
+        return on, off
+
+    def mode1_update(x_model, save, lock, P_i_surf):
+        """Trial-Newton-step classification on the all-radiative system."""
+        zeros = jnp.zeros(nz, bool)
+        xm, dFdt, dTdt, aux = objective(x_model, zeros, P_i_surf)
+        J = jacobian(xm, zeros, aux, dTdt)
+        deltaT = jnp.linalg.solve(J, -dTdt)
+        alpha0 = min(max(0.0, newton_step_size), 1.0)
+
+        def bt_cond(bs):
+            return (~bs["got"]) & (bs["tries"] < 20)
+
+        def bt_body(bs):
+            T_pert = xm + bs["alpha"] * deltaT
+            prof_t = rebuild(T_pert, zeros, P_i_surf)
+            ok = (
+                (jnp.min(T_pert) >= 1.0)
+                & jnp.all(jnp.isfinite(prof_t["x_model"]))
+                & jnp.all(jnp.isfinite(prof_t["lr_actual"]))
+            )
+            return dict(
+                alpha=jnp.where(ok, bs["alpha"], bs["alpha"] * 0.5),
+                lr_pert=jnp.where(ok, prof_t["lr_actual"], bs["lr_pert"]),
+                got=ok,
+                tries=bs["tries"] + 1,
+            )
+
+        bs = jax.lax.while_loop(
+            bt_cond, bt_body,
+            dict(alpha=jnp.asarray(alpha0, xm.dtype),
+                 lr_pert=jnp.zeros(nz, xm.dtype),
+                 got=jnp.asarray(False), tries=jnp.asarray(0)),
+        )
+        difference = bs["lr_pert"] - aux["lr_intended"]
+        on, off = _thresholds(aux["lr_intended"])
+        candidate = jnp.where(save, ~(difference < -off), difference > on)
+        new_mask = apply_mask_limiter(
+            save, candidate, difference, False, aux["lr_intended"]
+        )
+        # if the backtracking never found a valid trial profile the
+        # classification is meaningless: keep the old mask
+        return jnp.where(bs["got"], new_mask, save), lock
+
+    def mode2_update(x_model, save, lock, P_i_surf):
+        """Promotion-only classification from the converged state."""
+        prof = rebuild(x_model, save, P_i_surf)
+        difference = prof["lr_actual"] - prof["lr_intended"]
+        on, _ = _thresholds(prof["lr_intended"])
+        candidate = save | ((~save) & (difference > on))
+        return (
+            apply_mask_limiter(save, candidate, difference, True,
+                               prof["lr_intended"]),
+            lock,
+        )
+
+    def mode3_update(x_model, save, lock, P_i_surf):
+        """prevent_overconvection polish with per-layer lockouts."""
+        prof = rebuild(x_model, save, P_i_surf)
+        difference = prof["lr_actual"] - prof["lr_intended"]
+        lr_actual = prof["lr_actual"]
+        on, off = _thresholds(prof["lr_intended"])
+        lock = jnp.maximum(lock - 1, 0)
+
+        def one_pass(carry, allow_retract):
+            conv, lock = carry
+            _, lo_z, hi_z, valid_z = _runs(conv)
+            jj = hi_z + 1  # layer above each zone top
+            ok_z = valid_z & (hi_z < nz - 1)
+            take = lambda a, i: jnp.take(a, jnp.clip(i, 0, nz - 1))
+            extend = ok_z & (take(difference, jj) > take(on, jj))
+            retract = (
+                ok_z & allow_retract & ~extend
+                & (take(lr_actual, jj) < -take(off, jj))
+                & (take(lock, hi_z) == 0)
+            )
+            drop = lambda i, g: jnp.where(g, jnp.clip(i, 0, nz), nz)
+            conv = conv.at[drop(jj, extend)].set(True, mode="drop")
+            conv = conv.at[drop(hi_z, retract)].set(False, mode="drop")
+            lock = lock.at[drop(jj, extend)].set(2, mode="drop")
+            return (conv, lock)
+
+        # the host scan cascades zone-top extensions within one call; the
+        # retraction branch fires at most once per zone — reproduce with one
+        # extend+retract pass followed by extend-only passes to fixed point
+        conv, lock = one_pass((save, lock), jnp.asarray(True))
+
+        def fp_cond(fp):
+            conv, lock, changed, i = fp
+            return changed & (i < nz)
+
+        def fp_body(fp):
+            conv, lock, _, i = fp
+            conv2, lock2 = one_pass((conv, lock), jnp.asarray(False))
+            return (conv2, lock2, jnp.any(conv2 != conv), i + 1)
+
+        conv, lock, _, _ = jax.lax.while_loop(
+            fp_cond, fp_body, (conv, lock, jnp.asarray(True), jnp.asarray(0))
+        )
+        return conv, lock
+
+    def update_mask(mode, x_model, conv, lock, P_i_surf):
+        return jax.lax.switch(
+            jnp.clip(mode - 1, 0, 2),
+            [mode1_update, mode2_update, mode3_update],
+            x_model, conv, lock, P_i_surf,
+        )
+
+    # ------------------------------------------------------------------
+    # RCE outer loop (solve.f90:173-377)
+    # ------------------------------------------------------------------
+
+    def rce(x0, conv0, use_guess, P_i_surf):
+        """Full RCE for one column.
+
+        x0: (nz+1,) [T_surf_guess, T_guess]; conv0: (nz,) initial mask (used
+        when use_guess); P_i_surf: (ng,) surface partial pressures.
+        """
+        x0 = jnp.asarray(x0)
+        lock0 = jnp.zeros(nz, jnp.int32)
+        conv_init, _ = mode1_update(x0, jnp.zeros(nz, bool), lock0, P_i_surf)
+        conv_start = jnp.where(use_guess, conv0, conv_init)
+        mode0 = 1 if max_rc_iters_convection > 1 else 2
+
+        st0 = dict(
+            x=x0, conv=conv_start, mode=jnp.asarray(mode0),
+            perform_solve=jnp.asarray(True), lock=lock0,
+            it=jnp.asarray(0), converged=jnp.asarray(False),
+            done=jnp.asarray(max_rc_iters < 1), ok=jnp.asarray(True),
+            mask_solved=conv_start, solve_iters=jnp.asarray(0),
+        )
+
+        def cond(st):
+            return ~st["done"]
+
+        def body(st):
+            x_s, solve_ok, its = jax.lax.cond(
+                st["perform_solve"],
+                lambda: solve_strategy(st["x"], st["conv"], P_i_surf),
+                lambda: (st["x"], jnp.asarray(True), jnp.asarray(0)),
+            )
+            mask_solved = jnp.where(st["perform_solve"], st["conv"],
+                                    st["mask_solved"])
+            save = st["conv"]
+            conv2, lock2 = update_mask(st["mode"], x_s, save, st["lock"],
+                                       P_i_surf)
+            changed = jnp.any(conv2 != save)
+
+            mode = st["mode"]
+            it = st["it"] + 1
+            # transitions (solve.f90:305-362)
+            to_mode2 = (mode == 1) & (
+                (~changed & require_mode2)
+                | (changed & (it >= max_rc_iters_convection - 1))
+            )
+            # require_mode2 / prevent_overconvection are static Python bools
+            to_mode3 = (
+                ((mode == 1) & ~changed & (not require_mode2)
+                 & prevent_overconvection)
+                | ((mode == 2) & ~changed & prevent_overconvection)
+            )
+            conv_now = (
+                ((mode == 1) & ~changed & (not require_mode2)
+                 & (not prevent_overconvection))
+                | ((mode == 2) & ~changed & (not prevent_overconvection))
+                | ((mode == 3) & ~changed)
+            )
+            skip_solve = ~changed & (to_mode2 | to_mode3)
+            mode_new = jnp.where(to_mode2, 2, jnp.where(to_mode3, 3, mode))
+
+            done = conv_now | (~solve_ok) | (it >= max_rc_iters)
+            return dict(
+                x=x_s, conv=conv2, mode=mode_new,
+                perform_solve=~skip_solve, lock=lock2, it=it,
+                converged=conv_now, done=done, ok=st["ok"] & solve_ok,
+                mask_solved=mask_solved,
+                solve_iters=st["solve_iters"] + its,
+            )
+
+        st = jax.lax.while_loop(cond, body, st0)
+
+        # final state on the mask used for the last solve (rce.py RCE end)
+        xm, dFdt, dTdt, aux = objective(st["x"], st["mask_solved"], P_i_surf)
+        prof = rebuild(xm, st["mask_solved"], P_i_surf)
+        return dict(
+            T_surf=xm[0], T=xm[1:],
+            convecting_with_below=st["mask_solved"],
+            converged=st["converged"] & st["ok"],
+            rc_iters=st["it"], solve_iters=st["solve_iters"],
+            max_ratio=flux_ratio(dFdt),
+            P=prof["P_c"], f_i=prof["f_c"], dz=prof["dz"], z=prof["z"],
+            P_surf=prof["P_surf"], N_surface=prof["N_surface"],
+            f_total=aux["f_total"],
+        )
+
+    return dict(
+        rce=rce,
+        objective=objective,
+        jacobian=jacobian,
+        residuals=residuals,
+        rebuild=rebuild,
+        solve_strategy=solve_strategy,
+        update_mask=update_mask,
+        apply_mask_limiter=apply_mask_limiter,
+    )
+
+
+def batched_rce(c, P_i_surf_b, T_surf_guess_b, T_guess_b,
+                convecting_with_below_b=None, mesh=None, **build_kwargs):
+    """Batched device-side RCE over a column ensemble.
+
+    Every column runs the full reference RCE loop (profile rebuild, RT,
+    Newton/PTC stages, mask updates) inside ONE jitted program; the batch is
+    optionally sharded over a 1-D ``columns`` mesh. Columns never
+    communicate — the only collective is the implicit "all columns done" of
+    the batched while_loops.
+
+    Returns a dict of batched arrays (T_surf, T, convecting_with_below,
+    converged, max_ratio, rc_iters, P, f_i, ...).
+    """
+    fns = build_rce_fns(c, **build_kwargs)
+    P_i_surf_b = jnp.asarray(P_i_surf_b)
+    B = P_i_surf_b.shape[0]
+    T_surf_guess_b = jnp.broadcast_to(jnp.asarray(T_surf_guess_b), (B,))
+    T_guess_b = jnp.asarray(T_guess_b)
+    x0_b = jnp.concatenate([T_surf_guess_b[:, None], T_guess_b], axis=1)
+    if convecting_with_below_b is None:
+        conv0_b = jnp.zeros((B, c.nz), bool)
+        use_guess_b = jnp.zeros(B, bool)
+    else:
+        conv0_b = jnp.asarray(convecting_with_below_b, bool)
+        use_guess_b = jnp.ones(B, bool)
+
+    fn = jax.jit(jax.vmap(fns["rce"]))
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("columns"))
+        sh2 = NamedSharding(mesh, P("columns", None))
+        x0_b = jax.device_put(x0_b, sh2)
+        conv0_b = jax.device_put(conv0_b, sh2)
+        use_guess_b = jax.device_put(use_guess_b, sh)
+        P_i_surf_b = jax.device_put(P_i_surf_b, sh2)
+    return fn(x0_b, conv0_b, use_guess_b, P_i_surf_b)

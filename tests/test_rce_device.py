@@ -1,0 +1,193 @@
+"""Device-side batched RCE: parity vs the host solver and internal checks.
+
+The host solver (adiabat/rce.py) is the parity-verified reimplementation of
+clima_adiabat_solve.f90; the device solver (adiabat/rce_device.py) must
+produce the same residuals, Jacobians, and equilibria from its fixed-shape
+masked-DOF formulation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from clima_tpu.data import make_template_dir
+from clima_tpu.adiabat import AdiabatClimate
+from clima_tpu.adiabat import rce as R
+from clima_tpu.adiabat.rce_device import build_rce_fns, batched_rce
+
+
+@pytest.fixture(scope="module")
+def c(tmp_path_factory):
+    root = tmp_path_factory.mktemp("template_rce_dev")
+    t = make_template_dir(str(root), nz=20, n_zenith=1, surface_albedo=0.3)
+    c = AdiabatClimate(t["species"], t["settings"], t["star"], t["datadir"])
+    c.verbose = False
+    return c
+
+
+def P_i_earth(c):
+    P_i = np.full(c.sp.ng, 1.0e-15)
+    P_i[c.species_names.index("H2O")] = 270.0e6
+    P_i[c.species_names.index("CO2")] = 400.0
+    P_i[c.species_names.index("N2")] = 1.0e6
+    return P_i
+
+
+def _dof_to_full(c, dFdt_host, dTdt_host):
+    """Scatter the host's compacted DOF residuals into the (nz+1) layout."""
+    n = c.nz + 1
+    full_F = np.zeros(n)
+    full_T = np.zeros(n)
+    for i, ind in enumerate(c._inds_Tx):
+        full_F[ind - 1] = dFdt_host[i]
+        full_T[ind - 1] = dTdt_host[i]
+    return full_F, full_T
+
+
+@pytest.mark.parametrize(
+    "mask_spec",
+    [
+        "none",
+        "ground_zone",       # zone anchored at the surface
+        "mid_zone",          # interior zone
+        "two_zones",
+    ],
+)
+def test_objective_matches_host(c, mask_spec):
+    """Device objective == host _objective on the same mask and temps."""
+    nz = c.nz
+    conv = np.zeros(nz, dtype=bool)
+    if mask_spec == "ground_zone":
+        conv[:4] = True
+    elif mask_spec == "mid_zone":
+        conv[5:9] = True
+    elif mask_spec == "two_zones":
+        conv[:3] = True
+        conv[8:11] = True
+
+    P_i = P_i_earth(c)
+    T_in = np.linspace(285.0, 205.0, nz + 1)
+
+    # host objective at the DOF vector drawn from T_in
+    c._set_convecting_zones(conv)
+    x_host = np.array([T_in[ind - 1] for ind in c._inds_Tx])
+    dFdt_h, dTdt_h = R._objective(c, P_i, x_host)
+    F_h, T_h = _dof_to_full(c, dFdt_h, dTdt_h)
+    x_model_host = np.concatenate([[c.T_surf], c.T])
+
+    fns = build_rce_fns(c)
+    xm, dFdt_d, dTdt_d, aux = fns["objective"](
+        jnp.asarray(T_in), jnp.asarray(conv), jnp.asarray(P_i)
+    )
+
+    np.testing.assert_allclose(np.asarray(xm), x_model_host, rtol=1e-10)
+    # the host differences pre-assembled f_total (f_upper - f_lower); the
+    # device telescopes per-row fluxes via segment sums — mathematically
+    # identical, but rounded differently, so the comparison needs an
+    # absolute floor of ~ulp(|flux|) ~ 1e5 mW/m^2 * 1e-11
+    np.testing.assert_allclose(np.asarray(dFdt_d), F_h, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dTdt_d), T_h, rtol=1e-6, atol=1e-10)
+
+
+def test_jacobian_matches_host(c):
+    """Device zone-block FD Jacobian == host batched-IR Jacobian (embedded)."""
+    nz = c.nz
+    conv = np.zeros(nz, dtype=bool)
+    conv[:3] = True  # ground-linked zone exercises the block perturbation
+    P_i = P_i_earth(c)
+    T_in = np.linspace(285.0, 205.0, nz + 1)
+
+    c._set_convecting_zones(conv)
+    x_host = np.array([T_in[ind - 1] for ind in c._inds_Tx])
+    dFdt_h, dTdt_h = R._objective(c, P_i, x_host)
+    J_host = R._jacobian_from_base(c, x_host, dTdt_h)
+
+    fns = build_rce_fns(c)
+    xm, dFdt_d, dTdt_d, aux = fns["objective"](
+        jnp.asarray(T_in), jnp.asarray(conv), jnp.asarray(P_i)
+    )
+    J_dev = np.asarray(fns["jacobian"](xm, jnp.asarray(conv), aux, dTdt_d))
+
+    # embed: host J rows/cols live at inds_Tx-1
+    rows = np.array(c._inds_Tx) - 1
+    J_embedded = J_dev[np.ix_(rows, rows)]
+    # FD quotients amplify the summation-order noise of the residual
+    # (~1e-11 mW/m^2-scale) by 1/delta: absolute floor ~1e-11
+    np.testing.assert_allclose(J_embedded, J_host, rtol=2e-5, atol=2e-11)
+
+    # slaved columns are identity
+    slaved = np.setdiff1d(np.arange(nz + 1), rows)
+    for j in slaved:
+        e = np.zeros(nz + 1)
+        e[j] = 1.0
+        np.testing.assert_allclose(J_dev[:, j], e)
+
+
+def test_limiter_matches_host(c):
+    """Vectorized mask limiter == host _apply_mask_limiter across cases."""
+    rng = np.random.default_rng(42)
+    nz = c.nz
+    fns_cache = {}
+    for shift in [1, 2, 3]:
+        old = c.convective_max_boundary_shift
+        c.convective_max_boundary_shift = shift
+        try:
+            fns = build_rce_fns(c)
+            for trial in range(25):
+                save = rng.random(nz) < 0.35
+                candidate = rng.random(nz) < 0.5
+                difference = rng.normal(0.0, 0.05, nz)
+                lri = rng.normal(0.2, 0.05, nz)
+                for no_c2r in [False, True]:
+                    c.convecting_with_below = save.copy()
+                    c.lapse_rate_intended = lri.copy()
+                    R._apply_mask_limiter(
+                        c, save.copy(), candidate.copy(), difference, no_c2r
+                    )
+                    want = c.convecting_with_below.copy()
+                    got = np.asarray(
+                        fns["apply_mask_limiter"](
+                            jnp.asarray(save), jnp.asarray(candidate),
+                            jnp.asarray(difference), no_c2r, jnp.asarray(lri),
+                        )
+                    )
+                    np.testing.assert_array_equal(
+                        got, want,
+                        err_msg=f"shift={shift} trial={trial} no_c2r={no_c2r}",
+                    )
+        finally:
+            c.convective_max_boundary_shift = old
+
+
+@pytest.mark.slow
+def test_batched_rce_matches_host(c):
+    """B=3 columns reach max|F/F0| < xtol_rc in one jitted program and the
+    first column's equilibrium matches the host solver's."""
+    P_i = P_i_earth(c)
+    # host equilibrium
+    T_surf0 = c.surface_temperature(P_i, T_guess=280.0)
+    T_guess = c.T.copy()
+    assert c.RCE(P_i, T_surf0, T_guess)
+    T_surf_host = float(c.T_surf)
+    T_host = c.T.copy()
+    conv_host = c.convecting_with_below.copy()
+
+    B = 3
+    scale = np.array([1.0, 0.9, 1.1])
+    P_i_b = P_i[None, :] * scale[:, None]
+    out = batched_rce(
+        c,
+        P_i_b,
+        np.full(B, T_surf0),
+        np.repeat(T_guess[None, :], B, axis=0),
+    )
+    converged = np.asarray(out["converged"])
+    max_ratio = np.asarray(out["max_ratio"])
+    assert converged.all(), f"max_ratio={max_ratio}"
+    assert (max_ratio < c.xtol_rc).all()
+
+    # column 0 has the host's inputs: equilibria must agree
+    assert abs(float(out["T_surf"][0]) - T_surf_host) < 0.5
+    np.testing.assert_allclose(np.asarray(out["T"][0]), T_host, atol=2.0)
+    # and the converged convection masks agree
+    assert np.array_equal(np.asarray(out["convecting_with_below"][0]), conv_host)
