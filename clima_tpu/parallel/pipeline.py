@@ -61,13 +61,17 @@ def make_column_fns(c):
 
     Returns dict with:
       toa_fluxes(T_surf, P_i_surf) -> (ISR, OLR)  [single column, jittable]
+      column_model(T_surf, P_i_surf, T_trop) -> dict(ISR, OLR, fup_sol_toa,
+        fdn_sol_toa, P_surf, N_atmos, N_surface)   [full traced model]
+      profile_only(T_surf, P_i_surf, T_trop) -> dict(P_surf, N_atmos,
+        N_surface)                                 [no RT — reservoir solves]
       newton_step(state, P_i_surf) -> state       [one damped-Newton step on
                                                    log10(T_surf)]
     """
     par: AdiabatParams = c._par
     op = c.rad.op
     RH = jnp.asarray(c.RH)
-    T_trop = float(c.T_trop)
+    T_trop_default = float(c.T_trop)
     nz = c.nz
     ir_slice = (c.rad.ir.ind_start, c.rad.ir.ind_end)
     sol_slice = (c.rad.sol.ind_start, c.rad.sol.ind_end)
@@ -84,7 +88,8 @@ def make_column_fns(c):
     ir_tau_min = c.rad.ir_tau_min
     gas_masses = jnp.asarray(c.sp.gas_masses)
 
-    def toa_fluxes(T_surf, P_i_surf):
+    def _build_profile(T_surf, P_i_surf, T_trop):
+        """Profile + altitude + reservoir bookkeeping (no RT)."""
         prof = make_profile_core(par, RH, T_surf, P_i_surf, T_trop)
         P_c = prof["P_e"][1::2]
         T_c = prof["T_e"][1::2]
@@ -97,13 +102,30 @@ def make_column_fns(c):
         )
         density = P_c / (const.k_boltz * T_c)
         dens = f_c * density[:, None]
+        # N_atmos mol/cm^2 (clima_adiabat.f90:449-453 semantics)
+        N_atmos = jnp.sum(dens * alt["dz"][:, None], axis=0) / const.N_avo
+        return dict(
+            prof=prof, P_c=P_c, T_c=T_c, f_c=f_c, dens=dens, dz=alt["dz"],
+            P_surf=prof["P_surf"], N_atmos=N_atmos,
+            N_surface=prof["N_surface"],
+        )
+
+    def profile_only(T_surf, P_i_surf, T_trop):
+        b = _build_profile(T_surf, P_i_surf, T_trop)
+        return dict(P_surf=b["P_surf"], N_atmos=b["N_atmos"],
+                    N_surface=b["N_surface"],
+                    f_i_surf=b["prof"]["f_i_e"][0])
+
+    def column_model(T_surf, P_i_surf, T_trop):
+        b = _build_profile(T_surf, P_i_surf, T_trop)
+        T_c, P_c, dens = b["T_c"], b["P_c"], b["dens"]
 
         # doubled RT grid + 2 ghost layers (clima_adiabat.f90:729-773)
         rep = lambda a: jnp.repeat(a, 2, axis=0)
         T_r = jnp.concatenate([rep(T_c), T_c[-1:], T_c[-1:]])
         P_r = jnp.concatenate([rep(P_c), P_c[-1:], P_c[-1:]])
         dens_r = jnp.concatenate([rep(dens), dens[-1:], dens[-1:]], axis=0)
-        dz_half = 0.5 * alt["dz"]
+        dz_half = 0.5 * b["dz"]
         dz_r = jnp.concatenate([rep(dz_half), dz_half[-1:], dz_half[-1:]])
 
         opr = compute_opacity(op, P_r / 1.0e6, T_r, dens_r, dz_r)
@@ -123,7 +145,14 @@ def make_column_fns(c):
         )
         ISR = fdn_sol[-1] - fup_sol[-1]
         OLR = -(fdn_ir[-1] - fup_ir[-1])
-        return ISR, OLR
+        return dict(
+            ISR=ISR, OLR=OLR, fup_sol_toa=fup_sol[-1], fdn_sol_toa=fdn_sol[-1],
+            P_surf=b["P_surf"], N_atmos=b["N_atmos"], N_surface=b["N_surface"],
+        )
+
+    def toa_fluxes(T_surf, P_i_surf):
+        m = column_model(T_surf, P_i_surf, T_trop_default)
+        return m["ISR"], m["OLR"]
 
     def newton_step(state, P_i_surf):
         """One damped FD-Newton step on log10(T_surf) for ISR-OLR=0.
@@ -147,7 +176,8 @@ def make_column_fns(c):
         logT_new = jnp.where(new_conv, logT, logT + step)
         return (logT_new, r0, new_conv)
 
-    return dict(toa_fluxes=toa_fluxes, newton_step=newton_step)
+    return dict(toa_fluxes=toa_fluxes, newton_step=newton_step,
+                column_model=column_model, profile_only=profile_only)
 
 
 def make_mesh(n_devices=None, devices=None):

@@ -1,0 +1,359 @@
+"""Device-side batched nonlinear solvers for the column constructors.
+
+The reference runs one scipy-style MINPACK ``hybrd1`` per column for
+``make_column`` (ng DOF, log10 partial pressures,
+``clima_adiabat.f90:476-581``), ``make_profile_bg_gas`` (1 DOF,
+``:586-651``) and ``surface_temperature*`` (1-2 DOF on log10 T_surf
+[, log10 T_trop], ``:882-1020``) — unbatchable as written. Here each solve
+is re-posed as a pure damped-Newton program:
+
+- FD Jacobian with hybrd's relative perturbation, evaluated as ONE vmapped
+  batch of n model evaluations (columns x DOF all batched on device);
+- vectorized backtracking line search (all step fractions evaluated in one
+  vmapped batch, first acceptable chosen by mask reduction) — non-finite
+  residuals (the NaN-poison that replaces the reference's heat-capacity
+  range errors, clima_eqns.f90:105-133) reject a trial step exactly like
+  the reference's 1e30-residual backtracking;
+- an in-device initial-guess retry ladder reproducing the reference's
+  scale-factor retries (clima_adiabat.f90:508-541) via a ``lax.scan`` whose
+  lanes skip once converged.
+
+Everything is one jittable function of the per-column inputs, vmapped over
+the batch and shardable over the 1-D ``columns`` mesh. The nested solves of
+the reference (surface_temperature_column runs make_column per residual
+eval) are flattened into one joint system — same fixed point, better
+device utilization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..physics import eqns
+from .pipeline import make_column_fns, make_mesh, shard_columns
+
+__all__ = [
+    "newton_solve",
+    "batched_make_column",
+    "batched_make_profile_bg_gas",
+    "batched_surface_temperature_trop",
+    "batched_surface_temperature_column",
+    "batched_surface_temperature_bg_gas",
+]
+
+_TINY_SQRT = np.sqrt(2.2250738585072014e-308)  # clima_adiabat.f90:518
+
+
+def newton_solve(residual_fn, x0_ladder, *, tol=1.0e-8, max_iter=50,
+                 n_backtrack=12, max_line_fails=2):
+    """Damped Newton with FD Jacobian, line search, and a guess ladder.
+
+    residual_fn(x) -> (r, scale): r (n,) residuals, scale (n,) positive
+    normalizers; convergence is max|r/scale| < tol (hybrd-style mixed
+    relative criterion). x0_ladder: (L, n) initial guesses tried in order
+    until one converges. Returns (x, fnorm, converged, evals_upper_bound).
+
+    Pure and traceable: usable under jit/vmap/shard_map. Under vmap the
+    ladder lanes that already converged skip (the while_loop masks them),
+    so the batched cost is the max per-column need, not L x worst case.
+    """
+    x0_ladder = jnp.asarray(x0_ladder)
+    n = x0_ladder.shape[1]
+    dtype = x0_ladder.dtype
+    eps_rel = jnp.sqrt(jnp.finfo(dtype).eps)
+    alphas = (0.5 ** jnp.arange(n_backtrack, dtype=dtype))
+
+    def fnorm_of(r, s):
+        f = jnp.max(jnp.abs(r) / s)
+        return jnp.where(jnp.isfinite(f), f, jnp.inf)
+
+    def one_newton(x0, skip):
+        r0, s0 = residual_fn(x0)
+        f0 = fnorm_of(r0, s0)
+        it0 = jnp.where(skip, max_iter, 0)
+
+        def cond(st):
+            x, r, f, it, fails = st
+            return (f >= tol) & (it < max_iter) & (fails < max_line_fails) \
+                & jnp.isfinite(f)
+
+        def body(st):
+            x, r, f, it, fails = st
+            # hybrd-style FD Jacobian, one vmapped batch of n evals
+            eps = eps_rel * jnp.maximum(jnp.abs(x), 1.0e-8)
+            Xp = x[None, :] + jnp.diag(eps)
+            Rp, _ = jax.vmap(residual_fn)(Xp)  # (n, n)
+            J = (Rp - r[None, :]).T / eps[None, :]
+            step = -jnp.linalg.solve(J, r)
+            step_ok = jnp.all(jnp.isfinite(step))
+            step = jnp.where(step_ok, step, jnp.zeros_like(step))
+
+            # vectorized backtracking line search
+            Xc = x[None, :] + alphas[:, None] * step[None, :]
+            Rc, Sc = jax.vmap(residual_fn)(Xc)
+            fc = jnp.abs(Rc) / Sc
+            fc = jnp.max(jnp.where(jnp.isfinite(fc), fc, jnp.inf), axis=1)
+            ok = jnp.isfinite(fc) & (fc < f) & step_ok
+            any_ok = jnp.any(ok)
+            first = jnp.argmax(ok)  # first (largest-alpha) acceptable step
+            x_new = jnp.where(any_ok, Xc[first], x)
+            r_new = jnp.where(any_ok, Rc[first], r)
+            f_new = jnp.where(any_ok, fc[first], f)
+            fails = jnp.where(any_ok, 0, fails + 1)
+            return (x_new, r_new, f_new, it + 1, fails)
+
+        x, r, f, it, _ = jax.lax.while_loop(
+            cond, body, (x0, r0, f0, it0, jnp.asarray(0))
+        )
+        return x, f, it
+
+    def ladder_step(carry, x0):
+        best_x, best_f, done = carry
+        x, f, it = one_newton(x0, done)
+        improved = (~done) & (f < best_f)
+        best_x = jnp.where(improved, x, best_x)
+        best_f = jnp.where(improved, f, best_f)
+        done = done | (f < tol)
+        return (best_x, best_f, done), None
+
+    carry0 = (x0_ladder[0], jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
+    (x, f, done), _ = jax.lax.scan(ladder_step, carry0, x0_ladder)
+    return x, f, done
+
+
+def _maybe_shard(mesh, *arrays):
+    if mesh is None:
+        return arrays
+    out = []
+    for a in arrays:
+        spec = ["columns"] + [None] * (a.ndim - 1)
+        out.append(jax.device_put(
+            a, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(*spec))))
+    return tuple(out)
+
+
+def batched_make_column(c, T_surf_b, N_i_b, mesh=None, tol=None, max_iter=50):
+    """Device-batched ``make_column`` (clima_adiabat.f90:476-581).
+
+    Solves log10(P_i_surf) per column such that
+    N_atmos + N_surface = N_i target (mol/cm^2), with the surface-reservoir
+    bookkeeping of the moist adiabat inside jit. Ocean-solubility callbacks
+    (host Python callables) are not supported on the batched path — use the
+    host ``make_column`` for ocean cases.
+
+    Returns dict(P_i_surf (B, ng), fnorm, converged).
+    """
+    fns = make_column_fns(c)
+    profile_only = fns["profile_only"]
+    T_trop = float(c.T_trop)
+    tol = float(c.tol_make_column) if tol is None else tol
+    grav = float(eqns.gravity(c.planet_radius, c.planet_mass, 0.0))
+    gas_masses = np.asarray(c.sp.gas_masses)
+    scales = np.array([1.0, 0.5, 2.0, 0.1, 5.0, 0.01])  # clima_adiabat.f90:528
+
+    T_surf_b = jnp.asarray(T_surf_b, dtype=jnp.float64)
+    N_i_b = jnp.asarray(N_i_b, dtype=jnp.float64)
+
+    # x0 ladder per column: log10(N_i * m_i * g * scale) (clima_adiabat.f90:529-532)
+    ladder = jnp.log10(jnp.maximum(
+        N_i_b[:, None, :] * gas_masses[None, None, :] * grav
+        * scales[None, :, None], _TINY_SQRT,
+    ))  # (B, L, ng)
+
+    def solve_one(T_surf, N_target, x0s):
+        def residual(x):
+            P_i = 10.0 ** x
+            m = profile_only(T_surf, P_i, T_trop)
+            N = m["N_atmos"] + m["N_surface"]
+            scale = jnp.maximum(jnp.abs(N_target), 1.0e-30)
+            return N - N_target, scale
+
+        return newton_solve(residual, x0s, tol=tol, max_iter=max_iter)
+
+    T_surf_b, N_i_b, ladder = _maybe_shard(mesh, T_surf_b, N_i_b, ladder)
+    x, f, conv = jax.jit(jax.vmap(solve_one))(T_surf_b, N_i_b, ladder)
+    return dict(P_i_surf=10.0 ** x, fnorm=f, converged=conv)
+
+
+def batched_make_profile_bg_gas(c, T_surf_b, P_i_b, P_surf_b, bg_gas,
+                                mesh=None, tol=1.0e-8, max_iter=50):
+    """Device-batched ``make_profile_bg_gas`` (clima_adiabat.f90:586-651).
+
+    Solves log10 of the background gas's surface partial pressure per column
+    so the total surface pressure equals ``P_surf`` (dynes/cm^2).
+
+    Returns dict(P_i_surf (B, ng) with the solved bg entry, fnorm, converged).
+    """
+    fns = make_column_fns(c)
+    profile_only = fns["profile_only"]
+    T_trop = float(c.T_trop)
+    ind = c.species_names.index(bg_gas)
+
+    T_surf_b = jnp.asarray(T_surf_b, dtype=jnp.float64)
+    P_i_b = jnp.asarray(P_i_b, dtype=jnp.float64)
+    P_surf_b = jnp.asarray(P_surf_b, dtype=jnp.float64)
+    scales = np.array([1.0, 0.1])  # clima_adiabat.f90:628-635
+    ladder = jnp.log10(P_surf_b[:, None, None] * scales[None, :, None])  # (B,2,1)
+
+    def solve_one(T_surf, P_i, P_target, x0s):
+        def residual(x):
+            P_full = P_i.at[ind].set(10.0 ** x[0])
+            m = profile_only(T_surf, P_full, T_trop)
+            return (m["P_surf"] - P_target)[None], P_target[None]
+
+        return newton_solve(residual, x0s, tol=tol, max_iter=max_iter)
+
+    T_surf_b, P_i_b, P_surf_b, ladder = _maybe_shard(
+        mesh, T_surf_b, P_i_b, P_surf_b, ladder)
+    x, f, conv = jax.jit(jax.vmap(solve_one))(T_surf_b, P_i_b, P_surf_b, ladder)
+    P_out = jnp.asarray(P_i_b).at[:, ind].set(10.0 ** x[:, 0])
+    return dict(P_i_surf=P_out, fnorm=f, converged=conv)
+
+
+def _energy_residual_parts(m, surface_heat_flow):
+    """ISR - OLR + surface_heat_flow with its scale (clima_adiabat.f90:951)."""
+    r = m["ISR"] - m["OLR"] + surface_heat_flow
+    scale = jnp.maximum(jnp.abs(m["ISR"]), 1.0)
+    return r, scale
+
+
+def _t_guess_ladder(T_guess_b, dtype):
+    """log10 T ladder: the guess, then -+5% perturbations."""
+    logT = jnp.log10(jnp.asarray(T_guess_b, dtype=dtype))
+    offs = jnp.asarray([0.0, np.log10(0.95), np.log10(1.05)], dtype=dtype)
+    return logT[:, None] + offs[None, :]  # (B, 3)
+
+
+def batched_surface_temperature_trop(c, P_i_b, T_guess=280.0, mesh=None,
+                                     tol=1.0e-8, max_iter=50):
+    """Device-batched ``surface_temperature`` with ``solve_for_T_trop``.
+
+    The 2-DOF system of clima_adiabat.f90:882-1020: unknowns
+    [log10 T_surf, log10 T_trop], residuals [ISR - OLR + surface_heat_flow,
+    skin_temperature(bolometric_flux, bond_albedo) - T_trop].
+
+    Returns dict(T_surf (B,), T_trop (B,), fnorm, converged).
+    """
+    fns = make_column_fns(c)
+    column_model = fns["column_model"]
+    shf = float(c.surface_heat_flow)
+    bolometric = float(c.rad.bolometric_flux())
+
+    P_i_b = jnp.asarray(P_i_b, dtype=jnp.float64)
+    B = P_i_b.shape[0]
+    T_guess_b = jnp.broadcast_to(jnp.asarray(T_guess, dtype=jnp.float64), (B,))
+    lt = _t_guess_ladder(T_guess_b, P_i_b.dtype)  # (B, 3)
+    ltrop = jnp.full_like(lt, np.log10(float(c.T_trop)))
+    ladder = jnp.stack([lt, ltrop], axis=-1)  # (B, 3, 2)
+
+    def solve_one(P_i, x0s):
+        def residual(x):
+            T_surf = 10.0 ** x[0]
+            T_trop = 10.0 ** x[1]
+            m = column_model(T_surf, P_i, T_trop)
+            r1, s1 = _energy_residual_parts(m, shf)
+            bond_albedo = m["fup_sol_toa"] / m["fdn_sol_toa"]
+            r2 = eqns.skin_temperature(bolometric, bond_albedo) - T_trop
+            return jnp.stack([r1, r2]), jnp.stack([s1, T_trop])
+
+        return newton_solve(residual, x0s, tol=tol, max_iter=max_iter)
+
+    P_i_b, ladder = _maybe_shard(mesh, P_i_b, ladder)
+    x, f, conv = jax.jit(jax.vmap(solve_one))(P_i_b, ladder)
+    return dict(T_surf=10.0 ** x[:, 0], T_trop=10.0 ** x[:, 1],
+                fnorm=f, converged=conv)
+
+
+def batched_surface_temperature_column(c, N_i_b, T_guess=280.0, mesh=None,
+                                       tol=1.0e-8, max_iter=60):
+    """Device-batched ``surface_temperature_column`` (clima_adiabat.f90:984-999).
+
+    The reference nests hybrd1 solves (an ng-DOF make_column inside every
+    residual of a 1-DOF T solve). Here the (1+ng)-DOF joint system
+    [energy balance; N(P_i) - N_target] is solved at once — the same fixed
+    point, one device program.
+
+    Returns dict(T_surf (B,), P_i_surf (B, ng), fnorm, converged).
+    """
+    fns = make_column_fns(c)
+    column_model = fns["column_model"]
+    T_trop = float(c.T_trop)
+    shf = float(c.surface_heat_flow)
+    grav = float(eqns.gravity(c.planet_radius, c.planet_mass, 0.0))
+    gas_masses = np.asarray(c.sp.gas_masses)
+
+    N_i_b = jnp.asarray(N_i_b, dtype=jnp.float64)
+    B, ng = N_i_b.shape
+    T_guess_b = jnp.broadcast_to(jnp.asarray(T_guess, dtype=jnp.float64), (B,))
+    lt = _t_guess_ladder(T_guess_b, N_i_b.dtype)  # (B, 3)
+    scales = np.array([1.0, 0.5, 2.0])
+    lp = jnp.log10(jnp.maximum(
+        N_i_b[:, None, :] * gas_masses[None, None, :] * grav
+        * scales[None, :, None], _TINY_SQRT))  # (B, 3, ng)
+    ladder = jnp.concatenate([lt[:, :, None], lp], axis=-1)  # (B, 3, 1+ng)
+
+    def solve_one(N_target, x0s):
+        def residual(x):
+            T_surf = 10.0 ** x[0]
+            P_i = 10.0 ** x[1:]
+            m = column_model(T_surf, P_i, T_trop)
+            r1, s1 = _energy_residual_parts(m, shf)
+            N = m["N_atmos"] + m["N_surface"]
+            sN = jnp.maximum(jnp.abs(N_target), 1.0e-30)
+            return (jnp.concatenate([r1[None], N - N_target]),
+                    jnp.concatenate([s1[None], sN]))
+
+        return newton_solve(residual, x0s, tol=tol, max_iter=max_iter)
+
+    N_i_b, ladder = _maybe_shard(mesh, N_i_b, ladder)
+    x, f, conv = jax.jit(jax.vmap(solve_one))(N_i_b, ladder)
+    return dict(T_surf=10.0 ** x[:, 0], P_i_surf=10.0 ** x[:, 1:],
+                fnorm=f, converged=conv)
+
+
+def batched_surface_temperature_bg_gas(c, P_i_b, P_surf_b, bg_gas,
+                                       T_guess=280.0, mesh=None,
+                                       tol=1.0e-8, max_iter=60):
+    """Device-batched ``surface_temperature_bg_gas`` (clima_adiabat.f90:1003-1020).
+
+    Joint 2-DOF system [energy balance; P_surf(P_bg) - P_target] over
+    [log10 T_surf, log10 P_bg] — same fixed point as the reference's nested
+    solves, one device program.
+
+    Returns dict(T_surf (B,), P_i_surf (B, ng), fnorm, converged).
+    """
+    fns = make_column_fns(c)
+    column_model = fns["column_model"]
+    T_trop = float(c.T_trop)
+    shf = float(c.surface_heat_flow)
+    ind = c.species_names.index(bg_gas)
+
+    P_i_b = jnp.asarray(P_i_b, dtype=jnp.float64)
+    P_surf_b = jnp.asarray(P_surf_b, dtype=jnp.float64)
+    B = P_i_b.shape[0]
+    T_guess_b = jnp.broadcast_to(jnp.asarray(T_guess, dtype=jnp.float64), (B,))
+    lt = _t_guess_ladder(T_guess_b, P_i_b.dtype)  # (B, 3)
+    lp = jnp.log10(P_surf_b)[:, None] * jnp.ones_like(lt)
+    lp = lp + jnp.asarray([0.0, -1.0, 0.0])[None, :]  # scales 1.0, 0.1, 1.0
+    ladder = jnp.stack([lt, lp], axis=-1)  # (B, 3, 2)
+
+    def solve_one(P_i, P_target, x0s):
+        def residual(x):
+            T_surf = 10.0 ** x[0]
+            P_full = P_i.at[ind].set(10.0 ** x[1])
+            m = column_model(T_surf, P_full, T_trop)
+            r1, s1 = _energy_residual_parts(m, shf)
+            r2 = m["P_surf"] - P_target
+            return jnp.stack([r1, r2]), jnp.stack([s1, P_target])
+
+        return newton_solve(residual, x0s, tol=tol, max_iter=max_iter)
+
+    P_i_b, P_surf_b, ladder = _maybe_shard(mesh, P_i_b, P_surf_b, ladder)
+    x, f, conv = jax.jit(jax.vmap(solve_one))(P_i_b, P_surf_b, ladder)
+    P_out = jnp.asarray(P_i_b).at[:, ind].set(10.0 ** x[:, 1])
+    return dict(T_surf=10.0 ** x[:, 0], P_i_surf=P_out, fnorm=f, converged=conv)
