@@ -45,7 +45,7 @@ class AdiabatClimate:
     """Multispecies pseudoadiabat climate model (clima_adiabat.f90:19-224)."""
 
     def __init__(self, species_file, settings_file, flux_file, data_dir,
-                 double_radiative_grid=True):
+                 double_radiative_grid=True, substeps=6):
         self.sp = load_species(species_file)
         self.species_names = list(self.sp.gas_names)
         self.particle_names = list(self.sp.particle_names)
@@ -157,8 +157,29 @@ class AdiabatClimate:
             planet_mass=self.planet_mass,
             planet_radius=self.planet_radius,
             P_top=self.P_top,
-            substeps=6,
+            substeps=int(substeps),
         )
+        self._build_jit()
+
+    @property
+    def substeps(self):
+        """RK4 substeps per profile grid interval.
+
+        The reference resolves profiles with an adaptive dop853 integrator at
+        rtol=1e-9 (clima_adiabat_general.f90:274-353); here accuracy is
+        controlled by fixed 4th-order substeps per log-P interval. Error
+        decays as substeps**-4 (tests/test_profile_sweep.py measures the
+        order); the default 6 puts smooth profiles at ~1e-8 relative vs a
+        DOP853 oracle at nz=50. Setting this rebuilds the jitted cores.
+        """
+        return self._par.substeps
+
+    @substeps.setter
+    def substeps(self, value):
+        value = int(value)
+        if value < 1:
+            raise ClimaException("substeps must be >= 1")
+        self._par = dataclasses.replace(self._par, substeps=value)
         self._build_jit()
 
     # ------------------------------------------------------------------

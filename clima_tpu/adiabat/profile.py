@@ -54,13 +54,13 @@ class AdiabatParams:
     substeps: int = 4
 
 
-def mixing_ratios(par: AdiabatParams, RH, mask, r_dry, P, T):
+def mixing_ratios(par: AdiabatParams, RH, mask, r_dry, P, T, T_branch=None):
     """Mixing ratios given the condensing mask (general.f90:548-574).
 
     mask: (ng,) bool condensing set; r_dry: (ng,) dry proportions
     (normalized over non-condensing gases). Returns (f_i, f_dry).
     """
-    psat = RH * saturation.sat_pressure(par.sat, T)
+    psat = RH * saturation.sat_pressure(par.sat, T, T_branch)
     f_cond = jnp.minimum(psat / P, 1.0)
     f_moist = jnp.sum(jnp.where(mask, f_cond, 0.0))
     f_dry = jnp.maximum(1.0 - f_moist, F_DRY_MIN)
@@ -89,18 +89,18 @@ def update_mask(par: AdiabatParams, RH, mask, r_dry, P, T):
     return mask
 
 
-def lapse_rate_moist(par: AdiabatParams, RH, mask, r_dry, P, T):
+def lapse_rate_moist(par: AdiabatParams, RH, mask, r_dry, P, T, T_branch=None):
     """Graham et al. (2021) Eq. 1 generalized moist lapse rate dlnT/dlnP.
 
     Mirrors general.f90:576-656 (no-condensate simplification).
     """
-    f_i, f_dry = mixing_ratios(par, RH, mask, r_dry, P, T)
+    f_i, f_dry = mixing_ratios(par, RH, mask, r_dry, P, T, T_branch)
     cp_i = heat_capacity(par.thermo, T)  # J/(mol K)
     r = jnp.where(mask, 0.0, r_dry)
     r = r / jnp.maximum(jnp.sum(r), 1e-200)
     cp_dry = jnp.sum(jnp.where(mask, 0.0, r * cp_i)) + 1e-300
 
-    L = saturation.latent_heat(par.sat, T) * par.gas_masses * 1.0e-7  # J/mol
+    L = saturation.latent_heat(par.sat, T, T_branch) * par.gas_masses * 1.0e-7  # J/mol
     Rsi = const.Rgas_si
     beta = L / (Rsi * T)
     first = jnp.sum(jnp.where(mask, f_i * (cp_i - Rsi * beta + Rsi * beta**2), 0.0))
@@ -119,25 +119,117 @@ def _mubar(par: AdiabatParams, f_i):
     return jnp.sum(f_i * par.gas_masses)
 
 
-def _rhs(par: AdiabatParams, RH, mask, r_dry, P, u):
+def _rhs(par: AdiabatParams, RH, mask, r_dry, P, u, T_branch=None):
     """RHS of [dT/dP, dz/dP] (general.f90:576-656)."""
     T, z = u[0], u[1]
-    dlnT_dlnP = lapse_rate_moist(par, RH, mask, r_dry, P, T)
+    dlnT_dlnP = lapse_rate_moist(par, RH, mask, r_dry, P, T, T_branch)
     dT_dP = dlnT_dlnP * (T / P)
-    f_i, _ = mixing_ratios(par, RH, mask, r_dry, P, T)
+    f_i, _ = mixing_ratios(par, RH, mask, r_dry, P, T, T_branch)
     mubar = _mubar(par, f_i)
     grav = _gravity(par, z)
     dz_dP = -(const.Rgas * T) / (grav * P * mubar)
     return jnp.array([dT_dP, dz_dP])
 
 
-def _rk4(par, RH, mask, r_dry, P0, P1, u):
+def _rk4(par, RH, mask, r_dry, P0, P1, u, T_branch=None):
     h = P1 - P0
-    k1 = _rhs(par, RH, mask, r_dry, P0, u)
-    k2 = _rhs(par, RH, mask, r_dry, P0 + 0.5 * h, u + 0.5 * h * k1)
-    k3 = _rhs(par, RH, mask, r_dry, P0 + 0.5 * h, u + 0.5 * h * k2)
-    k4 = _rhs(par, RH, mask, r_dry, P1, u + h * k3)
+    k1 = _rhs(par, RH, mask, r_dry, P0, u, T_branch)
+    k2 = _rhs(par, RH, mask, r_dry, P0 + 0.5 * h, u + 0.5 * h * k1, T_branch)
+    k3 = _rhs(par, RH, mask, r_dry, P0 + 0.5 * h, u + 0.5 * h * k2, T_branch)
+    k4 = _rhs(par, RH, mask, r_dry, P1, u + h * k3, T_branch)
     return u + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def kink_temps(sat):
+    """Temperatures where the RHS is only C0: latent-heat branch switches.
+
+    LinearLatentHeat changes slope at T_triple (sublimation->vaporization)
+    and T_critical (->super-critical constant), clima_saturationdata.f90:80-91.
+    Integrating a fixed RK4 substep across one of these kinks degrades the
+    order to ~1 and breaks convergence; the profile march splits substeps at
+    the crossing instead (the same trick as the tropopause event).
+    """
+    k = jnp.concatenate([jnp.asarray(sat.T_triple), jnp.asarray(sat.T_critical)])
+    v = jnp.concatenate([jnp.asarray(sat.has_sat), jnp.asarray(sat.has_sat)])
+    return k, v
+
+
+def _rk4_event_split(par, RH, mask, r_dry, la, lb, u, kinks, kvalid):
+    """One RK4 substep over log-P [la, lb], split at the first event crossing.
+
+    Events (the reference's dense-output dop853 roots,
+    general.f90:355-513, handled here without adaptive stepping):
+
+    - latent-heat regime kinks: L JUMPS at T_triple (heat of fusion) and
+      kinks at T_critical, so a stage evaluation straddling the boundary
+      injects O(h) error — observed as total loss of substep convergence.
+      Every RK4 piece therefore pins the saturation-regime branch to its own
+      side (``T_branch``), making pieces analytic.
+    - dry->condensing switches: root ``f_i*P - RH_i*psat_i(T)`` of a
+      still-dry species (general.f90:483-513); integrating past the onset
+      with the dry lapse rate is O(h).
+
+    The first event's location is refined with two secant iterations on the
+    branch-pinned trajectory, and the step restarts on the other side
+    (other L branch / grown condensing set). Restores ~4th-order substep
+    convergence on profiles with switches (tests/test_profile_sweep.py).
+    """
+    ng = par.gas_masses.shape[0]
+    Pa, Pb = jnp.exp(la), jnp.exp(lb)
+    T0 = u[0]
+    u1 = _rk4(par, RH, mask, r_dry, Pa, Pb, u, T_branch=T0)
+    T1 = u1[0]
+
+    def g_sat(P, T):
+        """Per-gas saturation excess f_i*P - RH_i*psat_i under the OLD mask."""
+        f_i, _ = mixing_ratios(par, RH, mask, r_dry, P, T, T_branch=T0)
+        psat = RH * saturation.sat_pressure(par.sat, T, T_branch=T0)
+        return f_i * P - psat
+
+    # --- candidate events with linear-in-theta first estimates ---
+    # latent-heat kinks: root T(theta) - K
+    crossed_k = kvalid & ((T0 - kinks) * (T1 - kinks) < 0.0)
+    denomT = jnp.where(jnp.abs(T0 - T1) > 1e-300, T0 - T1, 1e-300)
+    theta_k = jnp.where(crossed_k, (T0 - kinks) / denomT, jnp.inf)
+    # condensation onsets: root g_j(theta), g goes negative -> positive
+    g0 = g_sat(Pa, T0)
+    g1 = g_sat(Pb, T1)
+    newly = jnp.asarray(par.sat.has_sat) & (~mask) & (g0 < 0.0) & (g1 >= 0.0)
+    denomG = jnp.where(jnp.abs(g0 - g1) > 1e-300, g0 - g1, 1e-300)
+    theta_m = jnp.where(newly, g0 / denomG, jnp.inf)
+
+    thetas = jnp.concatenate([theta_k, theta_m])
+    j = jnp.argmin(thetas)
+    has_event = jnp.isfinite(thetas[j]) & (thetas[j] < 1.0)
+    theta0 = jnp.clip(jnp.where(has_event, thetas[j], 0.5), 1e-6, 1.0 - 1e-6)
+    is_kink = j < 2 * ng
+    K_sel = jnp.where(is_kink, kinks[jnp.minimum(j, 2 * ng - 1)], 0.0)
+    j_gas = jnp.where(is_kink, 0, j - 2 * ng)
+    r0 = jnp.where(is_kink, T0 - K_sel, g0[j_gas])
+
+    def residual_at(theta):
+        uc = _rk4(par, RH, mask, r_dry, Pa,
+                  jnp.exp(la + theta * (lb - la)), u, T_branch=T0)
+        Pc = jnp.exp(la + theta * (lb - la))
+        r = jnp.where(is_kink, uc[0] - K_sel, g_sat(Pc, uc[0])[j_gas])
+        return uc, r
+
+    def refine(theta_a, r_a):
+        denom = jnp.where(jnp.abs(r0 - r_a) > 1e-300, r0 - r_a, 1e-300)
+        th = theta_a * r0 / denom
+        return jnp.clip(jnp.where(jnp.isfinite(th), th, theta_a),
+                        1e-6, 1.0 - 1e-6)
+
+    _, r_c0 = residual_at(theta0)
+    theta1 = refine(theta0, r_c0)
+    _, r_c1 = residual_at(theta1)
+    theta2 = refine(theta1, r_c1)
+    uc, _ = residual_at(theta2)
+    Pc = jnp.exp(la + theta2 * (lb - la))
+    # second piece: far-side L branch; condensing set grown on a mask event
+    mask2 = mask | (jnp.arange(ng) == j_gas) & ~is_kink
+    u2 = _rk4(par, RH, mask2, r_dry, Pc, Pb, uc, T_branch=T1)
+    return jnp.where(has_event, u2, u1)
 
 
 def _altitude_isothermal(par: AdiabatParams, P, T, mubar, P0, z0):
@@ -185,6 +277,18 @@ def make_profile_core(par: AdiabatParams, RH, T_surf, P_i_surf, T_trop):
 
     f_i_surf, _ = mixing_ratios(par, RH, mask0, r_dry, P_surf, T_surf)
 
+    # latent-heat branch kinks: split substeps there (static skip when no
+    # species condenses — has_sat is concrete at trace time)
+    import numpy as _np
+
+    _any_sat = bool(_np.any(_np.asarray(par.sat.has_sat)))
+    kinks, kvalid = kink_temps(par.sat)
+
+    def _step(la, lb, u, mask):
+        if _any_sat:
+            return _rk4_event_split(par, RH, mask, r_dry, la, lb, u, kinks, kvalid)
+        return _rk4(par, RH, mask, r_dry, jnp.exp(la), jnp.exp(lb), u)
+
     K = par.substeps
 
     def interval(carry, P_pair):
@@ -199,7 +303,7 @@ def make_profile_core(par: AdiabatParams, RH, T_surf, P_i_surf, T_trop):
             Pa, Pb = jnp.exp(la), jnp.exp(lb)
 
             u = jnp.array([T, z])
-            u_new = _rk4(par, RH, mask, r_dry, Pa, Pb, u)
+            u_new = _step(la, lb, u, mask)
             T_new, z_new = u_new[0], u_new[1]
 
             # tropopause crossing inside this substep (root T - T_trop)
@@ -209,7 +313,7 @@ def make_profile_core(par: AdiabatParams, RH, T_surf, P_i_surf, T_trop):
             )
             lP_cross = la + theta * (lb - la)
             P_cross = jnp.exp(lP_cross)
-            u_cross = _rk4(par, RH, mask, r_dry, Pa, P_cross, u)
+            u_cross = _step(la, lP_cross, u, mask)
             f_cross, _ = mixing_ratios(par, RH, mask, r_dry, P_cross, T_trop)
             mubar_cross = _mubar(par, f_cross)
 

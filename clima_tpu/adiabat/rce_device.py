@@ -89,7 +89,7 @@ def _acc_dtype():
 
 
 def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600,
-                  max_line_search=8):
+                  max_line_search=8, record_trace=False):
     """Build the pure single-column RCE functions from an AdiabatClimate.
 
     All configuration (tolerances, hysteresis knobs, strategy, opacity data)
@@ -739,6 +739,10 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             done=jnp.asarray(max_rc_iters < 1), ok=jnp.asarray(True),
             mask_solved=conv_start, solve_iters=jnp.asarray(0),
         )
+        if record_trace:
+            # per-outer-iteration max|F/F0| trajectory (costs one extra RT
+            # per iteration; for validation artifacts, off by default)
+            st0["ratio_trace"] = jnp.full(max_rc_iters, jnp.nan, _acc_dtype())
 
         def cond(st):
             return ~st["done"]
@@ -779,20 +783,26 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             mode_new = jnp.where(to_mode2, 2, jnp.where(to_mode3, 3, mode))
 
             done = conv_now | (~solve_ok) | (it >= max_rc_iters)
-            return dict(
+            out = dict(
                 x=x_s, conv=conv2, mode=mode_new,
                 perform_solve=~skip_solve, lock=lock2, it=it,
                 converged=conv_now, done=done, ok=st["ok"] & solve_ok,
                 mask_solved=mask_solved,
                 solve_iters=st["solve_iters"] + its,
             )
+            if record_trace:
+                _, dFdt_tr, _, _ = objective(x_s, save, P_i_surf)
+                out["ratio_trace"] = st["ratio_trace"].at[st["it"]].set(
+                    flux_ratio(dFdt_tr)
+                )
+            return out
 
         st = jax.lax.while_loop(cond, body, st0)
 
         # final state on the mask used for the last solve (rce.py RCE end)
         xm, dFdt, dTdt, aux = objective(st["x"], st["mask_solved"], P_i_surf)
         prof = rebuild(xm, st["mask_solved"], P_i_surf)
-        return dict(
+        res = dict(
             T_surf=xm[0], T=xm[1:],
             convecting_with_below=st["mask_solved"],
             converged=st["converged"] & st["ok"],
@@ -802,6 +812,9 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             P_surf=prof["P_surf"], N_surface=prof["N_surface"],
             f_total=aux["f_total"],
         )
+        if record_trace:
+            res["ratio_trace"] = st["ratio_trace"]
+        return res
 
     return dict(
         rce=rce,

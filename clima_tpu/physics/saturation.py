@@ -86,21 +86,33 @@ def _integral(A, B, T):
     return -A / T + B * jnp.log(T)
 
 
-def latent_heat(p: SaturationParams, T):
-    """Latent heat erg/g across the three regimes (:80-91). T broadcastable vs (ng,)."""
+def latent_heat(p: SaturationParams, T, T_branch=None):
+    """Latent heat erg/g across the three regimes (:80-91). T broadcastable vs (ng,).
+
+    ``T_branch`` (optional) selects the regime instead of T itself: the
+    profile integrator pins a whole RK substep piece to one branch so its
+    stage evaluations never straddle the latent-heat JUMP at T_triple
+    (L_sub - L_vap = latent heat of fusion) — the piece extrapolates its own
+    branch smoothly and the kink is handled by splitting the step there.
+    """
+    Tb = T if T_branch is None else T_branch
     L_crit = p.a_c + p.b_c * T
     L_vap = p.a_v + p.b_v * T
     L_sub = p.a_s + p.b_s * T
     return jnp.where(
-        T >= p.T_critical, L_crit, jnp.where(T > p.T_triple, L_vap, L_sub)
+        Tb >= p.T_critical, L_crit, jnp.where(Tb > p.T_triple, L_vap, L_sub)
     )
 
 
-def sat_pressure(p: SaturationParams, T):
+def sat_pressure(p: SaturationParams, T, T_branch=None):
     """Saturation pressure (dynes/cm^2) of each gas at T (:93-155).
 
     Non-condensible gases return BIG. T broadcastable against (ng,).
+    ``T_branch`` pins the regime choice (see :func:`latent_heat`); the SVP is
+    continuous across regime boundaries but only C0, so pinning keeps a
+    branch-split RK substep piece analytic.
     """
+    Tb = T if T_branch is None else T_branch
     tmp_vap = _integral(p.a_v, p.b_v, T) - _integral(p.a_v, p.b_v, p.T_ref)
     tmp_sub = (
         _integral(p.a_v, p.b_v, p.T_triple)
@@ -114,7 +126,7 @@ def sat_pressure(p: SaturationParams, T):
         + _integral(p.a_c, p.b_c, T)
         - _integral(p.a_c, p.b_c, p.T_critical)
     )
-    tmp = jnp.where(T >= p.T_critical, tmp_crit, jnp.where(T > p.T_triple, tmp_vap, tmp_sub))
+    tmp = jnp.where(Tb >= p.T_critical, tmp_crit, jnp.where(Tb > p.T_triple, tmp_vap, tmp_sub))
     psat = p.P_ref * jnp.exp((p.mu / const.Rgas) * tmp)
     return jnp.where(p.has_sat, psat, BIG)
 

@@ -1,0 +1,218 @@
+"""On-TPU validation artifact: Pallas parity smoke + f32 device RCE vs f64 host.
+
+Addresses VERDICT r1 items 4 and "weak 1": the Pallas kernels were only
+unit-tested in interpret mode, and no artifact showed RCE converging on the
+actual chip in f32. This script runs ON THE CURRENT BACKEND (TPU via the
+axon relay when available):
+
+1. Pallas parity smoke — the fused two-stream (IR + solar) and rank-RORR
+   kernels vs the XLA reference paths on identical inputs, real Mosaic
+   lowering (max relative flux/tau differences).
+2. Device-side batched RCE (f32 on TPU) at small nz, recording the
+   max|F/F0| trajectory per outer iteration, iteration counts, and wall
+   time; tolerance semantics of clima_adiabat_solve.f90:620-646.
+3. An f64 CPU host-solver reference of the same column (run in a
+   subprocess with JAX_PLATFORMS=cpu) and the f32-vs-f64 equilibrium
+   temperature deltas.
+
+Usage:
+  python scripts/tpu_validation.py --out TPU_VALIDATION_r02.json [--nz 12]
+  python scripts/tpu_validation.py --cpu-ref <file>   (internal subprocess)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _model(nz, xtol_rc=None):
+    from clima_tpu.data import make_template_dir
+    from clima_tpu.adiabat import AdiabatClimate
+
+    root = os.path.join(REPO, ".graft_assets", f"tpl_tpuval_nz{nz}")
+    if not os.path.exists(os.path.join(root, "settings.yaml")):
+        make_template_dir(root, nz=nz, n_zenith=1)
+    c = AdiabatClimate(
+        os.path.join(root, "species.yaml"), os.path.join(root, "settings.yaml"),
+        os.path.join(root, "star.txt"), os.path.join(root, "data"),
+    )
+    c.verbose = False
+    if xtol_rc is not None:
+        c.xtol_rc = xtol_rc
+    return c
+
+
+def _p_col(c):
+    P_i = np.full(c.sp.ng, 1.0e-15)
+    P_i[c.species_names.index("H2O")] = 270.0e6
+    P_i[c.species_names.index("CO2")] = 400.0
+    P_i[c.species_names.index("N2")] = 1.0e6
+    return P_i
+
+
+def cpu_ref_main(nz, outfile):
+    """f64 CPU host-solver reference (runs in a JAX_PLATFORMS=cpu subprocess)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    c = _model(nz)
+    P_i = _p_col(c)
+    T_s_guess = c.surface_temperature(P_i, T_guess=280.0)
+    T_seed = c.T.copy()
+    t0 = time.perf_counter()
+    converged = c.RCE(P_i, T_s_guess, T_seed)
+    wall = time.perf_counter() - t0
+    json.dump(
+        dict(
+            T_surf=float(c.T_surf), T=[float(x) for x in c.T],
+            mask=[bool(b) for b in c.convecting_with_below],
+            converged=bool(converged), wall_s=wall,
+            T_surf_guess=float(T_s_guess), T_seed=[float(x) for x in T_seed],
+        ),
+        open(outfile, "w"),
+    )
+    print(f"cpu ref: T_surf={c.T_surf:.4f} converged={converged} {wall:.1f}s")
+
+
+def pallas_parity(result):
+    """Real-lowering Pallas-vs-XLA parity on the current backend."""
+    import jax
+    import jax.numpy as jnp
+    from clima_tpu.ops import twostream as ts
+    from clima_tpu.ops.rorr import k_rorr_mix
+    from clima_tpu.ops.pallas_rorr import k_rorr_mix_pallas
+
+    rng = np.random.default_rng(1)
+    B, nzl = 512, 202
+    tau = jnp.asarray(10.0 ** rng.uniform(-6, 1.5, (B, nzl)), jnp.float32)
+    w0 = jnp.asarray(rng.uniform(0.05, 0.999, (B, nzl)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0.0, 0.9, (B, nzl)), jnp.float32)
+    u0 = jnp.asarray(rng.uniform(0.2, 1.0, B), jnp.float32)
+    alb = jnp.asarray(rng.uniform(0.0, 0.6, B), jnp.float32)
+    emis = jnp.asarray(rng.uniform(0.8, 1.0, B), jnp.float32)
+    bpl = jnp.asarray(rng.uniform(1e-2, 1.0, (B, nzl + 1)), jnp.float32)
+
+    def maxrel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        den = np.maximum(np.abs(b).max(), 1e-30)
+        return float(np.abs(a - b).max() / den)
+
+    out = {}
+    ts.set_pallas_mode("never")
+    am_x, _, fu_x, fd_x = jax.jit(ts.two_stream_solar_auto)(tau, w0, gt, u0, alb)
+    iu_x, id_x = jax.jit(ts.two_stream_ir_auto)(tau, w0, gt, emis, True, 1e-6, bpl)
+    np.asarray(fu_x)
+    ts.set_pallas_mode("always")
+    try:
+        am_p, _, fu_p, fd_p = jax.jit(ts.two_stream_solar_auto)(tau, w0, gt, u0, alb)
+        iu_p, id_p = jax.jit(ts.two_stream_ir_auto)(tau, w0, gt, emis, True, 1e-6, bpl)
+        out["solar_fup_maxrel"] = maxrel(fu_p, fu_x)
+        out["solar_fdn_maxrel"] = maxrel(fd_p, fd_x)
+        out["solar_amean_maxrel"] = maxrel(am_p, am_x)
+        out["ir_fup_maxrel"] = maxrel(iu_p, iu_x)
+        out["ir_fdn_maxrel"] = maxrel(id_p, id_x)
+    finally:
+        ts.set_pallas_mode("auto")
+
+    nk, nw, nzc, nbin = 3, 64, 202, 8
+    x, w = np.polynomial.legendre.leggauss(nbin)
+    wbin = (w / 2.0).astype(np.float64)
+    wbin_e = np.concatenate([[0.0], np.cumsum(wbin)])
+    wbin_e[-1] = 1.0
+    tau_ks = jnp.asarray(10.0 ** rng.uniform(-6, 2, (nk, nw, nzc, nbin)), jnp.float32)
+    mix_x = jax.jit(lambda t: k_rorr_mix(t, jnp.asarray(wbin_e)))(tau_ks)
+    mix_p = jax.jit(lambda t: k_rorr_mix_pallas(t, wbin, wbin_e))(tau_ks)
+    out["rorr_maxrel"] = maxrel(mix_p, mix_x)
+    result["pallas_parity"] = out
+    print("pallas parity:", json.dumps(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TPU_VALIDATION_r02.json")
+    ap.add_argument("--nz", type=int, default=12)
+    ap.add_argument("--xtol-rc", type=float, default=1.0e-5)
+    ap.add_argument("--cpu-ref", default=None, help="internal: write cpu ref")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu_ref:
+        cpu_ref_main(args.nz, args.cpu_ref)
+        return
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    result = dict(platform=platform, nz=args.nz,
+                  x64=bool(jax.config.jax_enable_x64))
+
+    # 1. Pallas parity (real lowering on this backend)
+    if not args.skip_parity:
+        pallas_parity(result)
+
+    # 2. f64 CPU host reference in a subprocess
+    ref_file = os.path.join(REPO, ".graft_assets", f"cpuref_nz{args.nz}.json")
+    if not os.path.exists(ref_file):
+        env = {k: v for k, v in os.environ.items()}
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-ref", ref_file,
+             "--nz", str(args.nz)],
+            check=True, env=env, cwd=REPO,
+        )
+    ref = json.load(open(ref_file))
+    result["cpu_f64"] = dict(
+        T_surf=ref["T_surf"], converged=ref["converged"], wall_s=ref["wall_s"]
+    )
+
+    # 3. device RCE on this backend, seeded identically to the reference run
+    from clima_tpu.adiabat.rce_device import batched_rce
+
+    c = _model(args.nz, xtol_rc=args.xtol_rc)
+    P_i = _p_col(c)
+    B = 2
+    P_b = np.tile(P_i, (B, 1))
+    T_s = np.full(B, ref["T_surf_guess"])
+    T_seed = np.tile(np.asarray(ref["T_seed"]), (B, 1))
+
+    t0 = time.perf_counter()
+    out = batched_rce(c, P_b, T_s, T_seed, record_trace=True)
+    T_surf_dev = np.asarray(out["T_surf"])  # round-trip sync
+    wall = time.perf_counter() - t0
+    trace = np.asarray(out["ratio_trace"])[0]
+    trace = trace[np.isfinite(trace)]
+    result["device_rce"] = dict(
+        dtype="float64" if jax.config.jax_enable_x64 else "float32",
+        xtol_rc=args.xtol_rc,
+        converged=[bool(b) for b in np.asarray(out["converged"])],
+        max_ratio=[float(v) for v in np.asarray(out["max_ratio"])],
+        rc_iters=[int(v) for v in np.asarray(out["rc_iters"])],
+        solve_iters=[int(v) for v in np.asarray(out["solve_iters"])],
+        ratio_trace=[float(v) for v in trace],
+        T_surf=[float(v) for v in T_surf_dev],
+        wall_s_total=wall,
+        columns=B,
+    )
+    mask_dev = np.asarray(out["convecting_with_below"])[0]
+    result["f32_vs_f64"] = dict(
+        dT_surf_K=float(T_surf_dev[0] - ref["T_surf"]),
+        dT_max_K=float(np.abs(np.asarray(out["T"])[0] - np.asarray(ref["T"])).max()),
+        mask_equal=bool((mask_dev == np.asarray(ref["mask"])).all()),
+    )
+
+    json.dump(result, open(args.out, "w"), indent=1)
+    print(json.dumps(result["device_rce"] | result["f32_vs_f64"], indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
