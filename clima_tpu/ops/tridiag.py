@@ -22,6 +22,7 @@ __all__ = [
     "tridiag_pcr",
     "tridiag_block2_pcr",
     "block2_pcr_components",
+    "block2_pcr_components_dense",
 ]
 
 
@@ -179,7 +180,76 @@ def block2_pcr_components(L01, M00, M01, M10, M11, U10, f0, f1):
     of the scalar tridiagonal form entirely. Components are SEPARATE arrays:
     a trailing (2, 2) axis would be padded to full (8, 128) TPU tiles (64x
     memory blow-up, observed as a compile-time HBM OOM).
+
+    This is the structure-exploiting implementation: one PCR sweep preserves
+    the sparsity of L and U exactly —
+
+      alpha = L @ inv(M_m) = [[a0, a1], [0, 0]]          (L has one row)
+      gamma = U @ inv(M_p) = [[0, 0], [g0, g1]]          (U has one row)
+      L'    = -alpha @ L_m = [[0, -a0*L01_m], [0, 0]]    (still one scalar)
+      U'    = -gamma @ U_p = [[0, 0], [-g1*U10_p, 0]]    (still one scalar)
+      M'    = M - alpha @ U_m - gamma @ L_p              (only M00 and M11
+                                                          change; M01/M10 are
+                                                          loop INVARIANTS)
+
+    so each sweep is ~26 elementwise ops on 8 carried arrays instead of the
+    ~104 ops / 14 arrays of the dense 2x2 formulation — the dominant cost of
+    the fused Pallas two-stream kernels. ``inv(M)`` is computed once per
+    sweep and shifted (inv commutes with the lane shift; identity fill).
+    The dense-algebra original is kept as :func:`block2_pcr_components_dense`
+    (the oracle for this path; equality asserted in tests).
     """
+    import math
+
+    m = L01.shape[-1]
+    dt = M00.dtype
+    batch = jnp.broadcast_shapes(
+        *(x.shape[:-1] for x in (L01, M00, M01, M10, M11, U10, f0, f1))
+    )
+    bcast = lambda x: jnp.broadcast_to(jnp.asarray(x, dt), batch + (m,))
+    L01, M00, M01, M10, M11, U10, f0, f1 = map(
+        bcast, (L01, M00, M01, M10, M11, U10, f0, f1)
+    )
+
+    def shift(x, k, fill):
+        pad = jnp.full(x.shape[:-1] + (abs(k),), fill, dt)
+        if k > 0:
+            return jnp.concatenate([x[..., k:], pad], axis=-1)
+        return jnp.concatenate([pad, x[..., :k]], axis=-1)
+
+    steps = max(1, math.ceil(math.log2(m)))
+    for s in range(steps):
+        k = 1 << s
+        inv_det = 1.0 / (M00 * M11 - M01 * M10)
+        i00 = M11 * inv_det
+        i01 = -M01 * inv_det
+        i10 = -M10 * inv_det
+        i11 = M00 * inv_det
+
+        # alpha couples to block k-1 (needs inv(M_{k-1}) row 2), gamma to
+        # block k+1 (needs inv(M_{k+1}) row 1); identity fill off the ends
+        a0 = L01 * shift(i10, -k, 0.0)
+        a1 = L01 * shift(i11, -k, 1.0)
+        g0 = U10 * shift(i00, +k, 1.0)
+        g1 = U10 * shift(i01, +k, 0.0)
+
+        L01_new = -a0 * shift(L01, -k, 0.0)
+        U10_new = -g1 * shift(U10, +k, 0.0)
+        M00 = M00 - a1 * shift(U10, -k, 0.0)
+        M11 = M11 - g0 * shift(L01, +k, 0.0)
+        f0_new = f0 - a0 * shift(f0, -k, 0.0) - a1 * shift(f1, -k, 0.0)
+        f1_new = f1 - g0 * shift(f0, +k, 0.0) - g1 * shift(f1, +k, 0.0)
+        L01, U10, f0, f1 = L01_new, U10_new, f0_new, f1_new
+
+    inv_det = 1.0 / (M00 * M11 - M01 * M10)
+    u0 = (M11 * f0 - M01 * f1) * inv_det
+    u1 = (M00 * f1 - M10 * f0) * inv_det
+    return u0, u1
+
+
+def block2_pcr_components_dense(L01, M00, M01, M10, M11, U10, f0, f1):
+    """Dense 2x2-block PCR (the original formulation; oracle for the
+    structured :func:`block2_pcr_components`)."""
     import math
 
     m = L01.shape[-1]

@@ -107,14 +107,20 @@ def pallas_parity(result):
         return float(np.abs(a - b).max() / den)
 
     out = {}
+    def ir_fn():
+        # fresh jit per pallas-mode switch (the mode is read at trace time;
+        # reusing one wrapper would return the cached other-mode trace)
+        return jax.jit(lambda t, w, g, e, b: ts.two_stream_ir_auto(
+            t, w, g, e, True, 1e-6, b))
+
     ts.set_pallas_mode("never")
     am_x, _, fu_x, fd_x = jax.jit(ts.two_stream_solar_auto)(tau, w0, gt, u0, alb)
-    iu_x, id_x = jax.jit(ts.two_stream_ir_auto)(tau, w0, gt, emis, True, 1e-6, bpl)
+    iu_x, id_x = ir_fn()(tau, w0, gt, emis, bpl)
     np.asarray(fu_x)
     ts.set_pallas_mode("always")
     try:
         am_p, _, fu_p, fd_p = jax.jit(ts.two_stream_solar_auto)(tau, w0, gt, u0, alb)
-        iu_p, id_p = jax.jit(ts.two_stream_ir_auto)(tau, w0, gt, emis, True, 1e-6, bpl)
+        iu_p, id_p = ir_fn()(tau, w0, gt, emis, bpl)
         out["solar_fup_maxrel"] = maxrel(fu_p, fu_x)
         out["solar_fdn_maxrel"] = maxrel(fd_p, fd_x)
         out["solar_amean_maxrel"] = maxrel(am_p, am_x)
