@@ -2,7 +2,12 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from clima_tpu.ops.tridiag import tridiag, tridiag_batched_last
+from clima_tpu.ops.tridiag import (
+    tridiag,
+    tridiag_batched_last,
+    block2_pcr_components,
+    block2_pcr_components_dense,
+)
 from clima_tpu.ops.twostream import two_stream_solar, two_stream_ir
 from clima_tpu.physics.eqns import planck_fcn
 from clima_tpu import constants as const
@@ -35,6 +40,32 @@ def test_tridiag_vs_dense():
     got = np.asarray(tridiag(a, b, c, d))
     np.testing.assert_allclose(got, expect, rtol=1e-10)
     np.testing.assert_allclose(got, fortran_tridiag(a, b, c, d), rtol=1e-12)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 7, 8, 101])
+def test_block2_pcr_structured_vs_dense_vs_thomas(m):
+    """ADVICE r2: direct structured-vs-dense block-PCR equality (and both vs
+    the Thomas oracle) across block counts incl. m=1 and odd m."""
+    rng = np.random.default_rng(42 + m)
+    n = 2 * m
+    a = rng.uniform(0.1, 1.0, n)
+    b = rng.uniform(3.0, 5.0, n) * np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
+    c = rng.uniform(0.1, 1.0, n)
+    d = rng.uniform(-1.0, 1.0, n)
+    a[0] = 0.0
+    c[-1] = 0.0
+
+    comps = (a[0::2], b[0::2], c[0::2], a[1::2], b[1::2], c[1::2], d[0::2], d[1::2])
+    u0_s, u1_s = block2_pcr_components(*comps)
+    u0_d, u1_d = block2_pcr_components_dense(*comps)
+    np.testing.assert_allclose(np.asarray(u0_s), np.asarray(u0_d), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(u1_s), np.asarray(u1_d), rtol=1e-12, atol=1e-14)
+
+    x_pcr = np.empty(n)
+    x_pcr[0::2] = np.asarray(u0_s)
+    x_pcr[1::2] = np.asarray(u1_s)
+    x_thomas = fortran_tridiag(a, b, c, d)
+    np.testing.assert_allclose(x_pcr, x_thomas, rtol=1e-9, atol=1e-12)
 
 
 def test_tridiag_batched():
