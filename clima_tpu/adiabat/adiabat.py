@@ -508,8 +508,18 @@ class AdiabatClimate:
 
     def _simple_solver(self, toa_fcn, T_guess):
         err_box = [None]
+        # Snapshot the make_column guess cache: TOA_fluxes_column runs an
+        # inner hybrd whose warm-start cache otherwise mutates between
+        # residual evaluations, making fcn(x) nondeterministic (observed
+        # ~2e-4 relative flux jitter at fixed x) — hybrd1's machine-eps FD
+        # steps then read pure noise and stall with info=4/5. Restoring the
+        # cache per evaluation makes fcn a deterministic, smooth function of
+        # x (the reference's residual is smooth for free because dop853
+        # integrates to rtol=1e-9; clima_adiabat.f90:882-961).
+        P_guess0 = self.make_column_P_guess.copy()
 
         def fcn(x):
+            self.make_column_P_guess = P_guess0.copy()
             T = 10.0 ** x[0]
             T_trop = 10.0 ** x[1] if self.solve_for_T_trop else self.T_trop
             try:
