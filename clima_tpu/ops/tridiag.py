@@ -22,6 +22,7 @@ __all__ = [
     "tridiag_pcr",
     "tridiag_block2_pcr",
     "block2_pcr_components",
+    "block2_pcr_components_multi",
     "block2_pcr_components_dense",
 ]
 
@@ -245,6 +246,70 @@ def block2_pcr_components(L01, M00, M01, M10, M11, U10, f0, f1):
     u0 = (M11 * f0 - M01 * f1) * inv_det
     u1 = (M00 * f1 - M10 * f0) * inv_det
     return u0, u1
+
+
+def block2_pcr_components_multi(L01, M00, M01, M10, M11, U10, f0s, f1s):
+    """2x2-block PCR with a SHARED matrix and multiple right-hand sides.
+
+    Same block structure as :func:`block2_pcr_components`, but ``f0s``/``f1s``
+    carry a leading RHS axis: shape ``(nrhs,) + batch + (m,)`` against matrix
+    components of shape ``batch + (m,)``. Each PCR sweep computes the matrix
+    elimination factors (alpha/gamma and the M00/M11/L01/U10 updates) ONCE and
+    applies them to every RHS — this is what makes the multi-zenith solar
+    two-stream cheap: the Toon system matrix depends only on (tau, w0, g,
+    Rsfc), so all zenith angles share one elimination (the per-sweep cost is
+    ~14 shared ops + ~12 per RHS instead of ~26 per RHS).
+
+    Returns ``(u0s, u1s)``, each ``(nrhs,) + batch + (m,)``. Equality with a
+    per-RHS :func:`block2_pcr_components` loop is asserted in tests.
+    """
+    import math
+
+    m = L01.shape[-1]
+    dt = M00.dtype
+    nrhs = f0s.shape[0]
+    batch = jnp.broadcast_shapes(
+        *(x.shape[:-1] for x in (L01, M00, M01, M10, M11, U10)),
+        f0s.shape[1:-1],
+        f1s.shape[1:-1],
+    )
+    bcast = lambda x: jnp.broadcast_to(jnp.asarray(x, dt), batch + (m,))
+    L01, M00, M01, M10, M11, U10 = map(bcast, (L01, M00, M01, M10, M11, U10))
+    bcast_f = lambda x: jnp.broadcast_to(jnp.asarray(x, dt), (nrhs,) + batch + (m,))
+    f0s, f1s = bcast_f(f0s), bcast_f(f1s)
+
+    def shift(x, k, fill):
+        pad = jnp.full(x.shape[:-1] + (abs(k),), fill, dt)
+        if k > 0:
+            return jnp.concatenate([x[..., k:], pad], axis=-1)
+        return jnp.concatenate([pad, x[..., :k]], axis=-1)
+
+    steps = max(1, math.ceil(math.log2(m)))
+    for s in range(steps):
+        k = 1 << s
+        inv_det = 1.0 / (M00 * M11 - M01 * M10)
+        i00 = M11 * inv_det
+        i01 = -M01 * inv_det
+        i10 = -M10 * inv_det
+        i11 = M00 * inv_det
+
+        a0 = L01 * shift(i10, -k, 0.0)
+        a1 = L01 * shift(i11, -k, 1.0)
+        g0 = U10 * shift(i00, +k, 1.0)
+        g1 = U10 * shift(i01, +k, 0.0)
+
+        L01_new = -a0 * shift(L01, -k, 0.0)
+        U10_new = -g1 * shift(U10, +k, 0.0)
+        M00 = M00 - a1 * shift(U10, -k, 0.0)
+        M11 = M11 - g0 * shift(L01, +k, 0.0)
+        f0_new = f0s - a0[None] * shift(f0s, -k, 0.0) - a1[None] * shift(f1s, -k, 0.0)
+        f1_new = f1s - g0[None] * shift(f0s, +k, 0.0) - g1[None] * shift(f1s, +k, 0.0)
+        L01, U10, f0s, f1s = L01_new, U10_new, f0_new, f1_new
+
+    inv_det = 1.0 / (M00 * M11 - M01 * M10)
+    u0s = (M11[None] * f0s - M01[None] * f1s) * inv_det[None]
+    u1s = (M00[None] * f1s - M10[None] * f0s) * inv_det[None]
+    return u0s, u1s
 
 
 def block2_pcr_components_dense(L01, M00, M01, M10, M11, U10, f0, f1):

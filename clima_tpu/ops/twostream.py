@@ -15,10 +15,19 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .tridiag import tridiag_batched_last, block2_pcr_components
+from .tridiag import (
+    tridiag_batched_last,
+    block2_pcr_components,
+    block2_pcr_components_multi,
+)
 from .. import constants as const
 
-__all__ = ["two_stream_solar", "two_stream_ir", "set_tridiag_method"]
+__all__ = [
+    "two_stream_solar",
+    "two_stream_solar_multi",
+    "two_stream_ir",
+    "set_tridiag_method",
+]
 
 _SQRT3 = 3.0**0.5
 
@@ -72,6 +81,15 @@ def two_stream_solar_auto(tau, w0, gt, u0, Rsfc):
     return two_stream_solar(tau, w0, gt, u0, Rsfc)
 
 
+def two_stream_solar_multi_auto(tau, w0, gt, u0s, Rsfc):
+    """Dispatch the multi-zenith solar solve (2-D batch) to Pallas on TPU."""
+    if _use_pallas() and tau.ndim == 2:
+        from .pallas_twostream import two_stream_solar_multi_pallas
+
+        return two_stream_solar_multi_pallas(tau, w0, gt, u0s, Rsfc)
+    return two_stream_solar_multi(tau, w0, gt, u0s, Rsfc)
+
+
 def two_stream_ir_auto(tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck):
     """Dispatch IR two-stream; ``tau_min`` must be a concrete float for Pallas."""
     if _use_pallas() and tau.ndim == 2 and isinstance(tau_min, (int, float)):
@@ -107,18 +125,16 @@ def _es(lam, cap_gam, tau):
     return e1, e2, e3, e4
 
 
-def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
-    """Build the 2*nz two-stream system (Eqs. 39-43) and solve.
+def _matrix_rows(e1, e2, e3, e4, Rsfc):
+    """Even/odd coefficient rows of the 2*nz two-stream system (Eqs. 39-43).
 
-    The even/odd coefficient rows are fed DIRECTLY to the 2x2-block PCR
-    solver as block components — the interleaved scalar tridiagonal form
-    (and its strided re-slicing) never materializes. Returns (y1, y2) of
-    shape (..., nz).
+    Zenith-independent: the Toon system matrix depends only on the
+    e-coefficients and the surface reflectivity, which is what lets the
+    multi-zenith solar solve share one block-PCR elimination across all
+    zenith angles (only the RHS varies with u0).
     """
-    nz = e1.shape[-1]
     zeros = jnp.zeros_like(e1[..., :1])
     Rsfc = jnp.asarray(Rsfc)[..., None]
-    Ssfc = jnp.asarray(Ssfc)[..., None] if jnp.ndim(Ssfc) == e1.ndim - 1 else Ssfc
 
     # rows at 0-based even positions (Fortran odd l): [row0, j=0..nz-2]
     A_ev = jnp.concatenate(
@@ -129,14 +145,6 @@ def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
     )
     D_ev = jnp.concatenate(
         [-e2[..., :1], e3[..., :-1] * e4[..., 1:] - e1[..., :-1] * e2[..., 1:]], axis=-1
-    )
-    E_ev = jnp.concatenate(
-        [
-            -cm0[..., :1],
-            e3[..., :-1] * (cp0[..., 1:] - cpb[..., :-1])
-            + e1[..., :-1] * (cmb[..., :-1] - cm0[..., 1:]),
-        ],
-        axis=-1,
     )
 
     # rows at 0-based odd positions (Fortran even l): [j=0..nz-2, last row]
@@ -161,6 +169,20 @@ def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
         ],
         axis=-1,
     )
+    return A_ev, B_ev, D_ev, A_od, B_od, D_od
+
+
+def _rhs_rows(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
+    """Even/odd RHS rows of the two-stream system (the u0-dependent part)."""
+    Rsfc = jnp.asarray(Rsfc)[..., None]
+    E_ev = jnp.concatenate(
+        [
+            -cm0[..., :1],
+            e3[..., :-1] * (cp0[..., 1:] - cpb[..., :-1])
+            + e1[..., :-1] * (cmb[..., :-1] - cm0[..., 1:]),
+        ],
+        axis=-1,
+    )
     E_od = jnp.concatenate(
         [
             e2[..., 1:] * (cp0[..., 1:] - cpb[..., :-1])
@@ -169,6 +191,21 @@ def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
         ],
         axis=-1,
     )
+    return E_ev, E_od
+
+
+def _assemble_and_solve(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc):
+    """Build the 2*nz two-stream system (Eqs. 39-43) and solve.
+
+    The even/odd coefficient rows are fed DIRECTLY to the 2x2-block PCR
+    solver as block components — the interleaved scalar tridiagonal form
+    (and its strided re-slicing) never materializes. Returns (y1, y2) of
+    shape (..., nz).
+    """
+    nz = e1.shape[-1]
+    Ssfc = jnp.asarray(Ssfc)[..., None] if jnp.ndim(Ssfc) == e1.ndim - 1 else Ssfc
+    A_ev, B_ev, D_ev, A_od, B_od, D_od = _matrix_rows(e1, e2, e3, e4, Rsfc)
+    E_ev, E_od = _rhs_rows(e1, e2, e3, e4, cp0, cpb, cm0, cmb, Rsfc, Ssfc)
 
     if _TRIDIAG_METHOD == "pcr":
         # block components ARE the even/odd coefficient rows
@@ -265,6 +302,111 @@ def two_stream_solar(tau_in, w0_in, gt_in, u0, Rsfc):
         (y1[..., -1:] * e3[..., -1:] + y2[..., -1:] * e4[..., -1:] + cmb[..., -1:])
         / u1
         + jnp.exp(-tauc[..., -1:] / u0),
+        -1,
+    )
+
+    return amean, surface_radiance, fup, fdn
+
+
+def two_stream_solar_multi(tau_in, w0_in, gt_in, u0s, Rsfc):
+    """Solar two-stream for SEVERAL zenith angles sharing one column.
+
+    ``u0s``: (nzen,) zenith cosines shared across the whole batch (the
+    radiate driver's Gauss-Legendre nodes). All other arguments as in
+    :func:`two_stream_solar` with batch dims leading.
+
+    The reference solves an independent 2*nz tridiagonal per zenith angle
+    (clima_radtran_radiate.f90:83-136), but the Toon system MATRIX depends
+    only on (tau, w0, g, Rsfc) — u0 enters only the particular solutions,
+    i.e. the RHS. This computes the delta-Eddington scaling, e-coefficients
+    (one exp instead of nzen) and block rows once and runs a multi-RHS
+    block-PCR (:func:`block2_pcr_components_multi`), cutting both VPU work
+    and the HBM reads of tau/w0/gt by ~nzen.
+
+    Returns (amean, surface_radiance, fup, fdn) with a LEADING nzen axis:
+    amean/fup/fdn (nzen, ..., nz+1), surface_radiance (nzen, ...).
+    Per-zenith equality with :func:`two_stream_solar` is asserted in tests.
+    """
+    u0s = jnp.asarray(u0s)
+    nzen = u0s.shape[0]
+    # (nzen, 1, ..., 1) against the batch+nz dims
+    u0 = u0s.reshape((nzen,) + (1,) * tau_in.ndim)
+
+    # shared delta-Eddington scaling and homogeneous solution
+    tau = tau_in * (1.0 - w0_in * gt_in * gt_in)
+    w0 = w0_in * (1.0 - gt_in * gt_in) / (1.0 - w0_in * gt_in * gt_in)
+    gt = gt_in / (1.0 + gt_in)
+
+    u1 = 1.0 / _SQRT3
+    Fs_pi = 1.0
+
+    gam1 = _SQRT3 * (2.0 - w0 * (1.0 + gt)) / 2.0
+    gam2 = _SQRT3 * w0 * (1.0 - gt) / 2.0
+    lam = jnp.sqrt(gam1**2 - gam2**2)
+    cap_gam = gam2 / (gam1 + lam)
+    e1, e2, e3, e4 = _es(lam, cap_gam, tau)
+    tauc = jnp.concatenate(
+        [jnp.zeros_like(tau[..., :1]), _cumsum_last(tau)], axis=-1
+    )
+
+    # per-zenith particular solutions (leading nzen axis)
+    gam3 = (1.0 - _SQRT3 * gt[None] * u0) / 2.0
+    gam4 = 1.0 - gam3
+    facp = w0[None] * Fs_pi * ((gam1[None] - 1.0 / u0) * gam3 + gam4 * gam2[None])
+    facm = w0[None] * Fs_pi * ((gam1[None] + 1.0 / u0) * gam4 + gam2[None] * gam3)
+    # expand_dims instead of x[None, ..., :-1]: the combined None+ellipsis
+    # indexing lowers to a gather, which Mosaic rejects inside the kernel
+    et0 = jnp.exp(-jnp.expand_dims(tauc[..., :-1], 0) / u0)
+    etb = et0 * jnp.exp(-tau[None] / u0)
+    denom = lam[None] ** 2 - 1.0 / u0**2
+
+    direct = jnp.concatenate(
+        [
+            u0 * Fs_pi * jnp.ones_like(etb[..., :1]),
+            u0 * Fs_pi * etb,
+        ],
+        axis=-1,
+    )
+    cp0 = et0 * facp / denom
+    cpb = etb * facp / denom
+    cm0 = et0 * facm / denom
+    cmb = etb * facm / denom
+
+    Rs = jnp.asarray(Rsfc)[..., None]
+    Ssfc = Rs[None] * direct[..., -1:]
+
+    A_ev, B_ev, D_ev, A_od, B_od, D_od = _matrix_rows(e1, e2, e3, e4, Rsfc)
+    E_ev, E_od = _rhs_rows(
+        e1[None], e2[None], e3[None], e4[None], cp0, cpb, cm0, cmb, Rsfc, Ssfc
+    )
+    y1, y2 = block2_pcr_components_multi(
+        A_ev, B_ev, D_ev, A_od, B_od, D_od, E_ev, E_od
+    )
+
+    e1n, e2n, e3n, e4n = e1[None], e2[None], e3[None], e4[None]
+    amean_top = (1.0 / u1) * (
+        y1[..., :1] * e3n[..., :1] - y2[..., :1] * e4n[..., :1] + cp0[..., :1]
+    ) + direct[..., :1] / u0
+    amean_rest = (1.0 / u1) * (
+        y1 * (e1n + e3n) + y2 * (e2n + e4n) + cpb + cmb
+    ) + direct[..., 1:] / u0
+    amean = jnp.concatenate([amean_top, amean_rest], axis=-1)
+
+    fup = jnp.concatenate(
+        [
+            y1[..., :1] * e3n[..., :1] - y2[..., :1] * e4n[..., :1] + cp0[..., :1],
+            y1 * e1n + y2 * e2n + cpb,
+        ],
+        axis=-1,
+    )
+    fdn = jnp.concatenate(
+        [direct[..., :1], y1 * e3n + y2 * e4n + cmb + direct[..., 1:]], axis=-1
+    )
+
+    surface_radiance = jnp.squeeze(
+        (y1[..., -1:] * e3n[..., -1:] + y2[..., -1:] * e4n[..., -1:] + cmb[..., -1:])
+        / u1
+        + jnp.exp(-jnp.expand_dims(tauc[..., -1:], 0) / u0),
         -1,
     )
 

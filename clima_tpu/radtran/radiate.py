@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import constants as const
-from ..ops.twostream import two_stream_solar_auto, two_stream_ir_auto
+from ..ops.twostream import two_stream_solar_multi_auto, two_stream_ir_auto
 from ..physics.eqns import planck_fcn
 
 __all__ = ["radiate_ir", "radiate_solar", "integrate_fluxes"]
@@ -95,18 +95,21 @@ def radiate_solar(channel_slice, freq_master, wavl_master, wbin, opr,
     zw = jnp.asarray(zenith_weights)
     alb = jnp.asarray(surface_albedo)  # (nw,)
 
-    # flatten the (n_zen, nw, G) batch to 2-D before the solve (see radiate_ir)
+    # flatten the (nw, G) batch to 2-D; the zenith axis is NOT broadcast into
+    # the batch — all zenith angles share each column's optical properties,
+    # so the multi-RHS solve reads tau/w0/g once and shares the block-PCR
+    # matrix elimination across zenith angles (ops.twostream
+    # .two_stream_solar_multi), instead of solving nzen independent systems
+    # as the reference's zenith loop does (clima_radtran_radiate.f90:83-136).
     nzen = zenith_u.shape[0]
     nG = tau.shape[1]
-    flat = lambda x: jnp.broadcast_to(x, (nzen, nw, nG) + x.shape[3:]).reshape(
-        nzen * nw * nG, -1
-    )
-    amean, _, fup, fdn = two_stream_solar_auto(
-        flat(tau[None, :, :, :]),
-        flat(w0[None, :, :, :]),
-        flat(g[None, :, None, :]),
-        flat(zenith_u[:, None, None, None])[:, 0],
-        flat(alb[None, :, None, None])[:, 0],
+    flat = lambda x: jnp.broadcast_to(x, (nw, nG) + x.shape[2:]).reshape(nw * nG, -1)
+    amean, _, fup, fdn = two_stream_solar_multi_auto(
+        flat(tau),
+        flat(w0),
+        flat(g[:, None, :]),
+        zenith_u,
+        flat(alb[:, None, None])[:, 0],
     )
     unflat = lambda x: x.reshape(nzen, nw, nG, nz + 1)
     amean = unflat(amean)

@@ -48,6 +48,69 @@ def test_solar_kernel_matches_xla(interpret):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10)
 
 
+def test_solar_multi_kernel_matches_xla(interpret):
+    B, nz, nzen = 24, 33, 4
+    tau, w0, gt = _atm(B, nz)
+    rng = np.random.default_rng(7)
+    u0s = rng.uniform(0.2, 1.0, nzen)
+    rs = rng.uniform(0.0, 0.6, B)
+    from clima_tpu.ops.twostream import two_stream_solar_multi
+
+    ref = two_stream_solar_multi(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+        jnp.asarray(u0s), jnp.asarray(rs),
+    )
+    got = pts.two_stream_solar_multi_pallas(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+        jnp.asarray(u0s), jnp.asarray(rs), block_b=8,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-10)
+
+
+def test_solar_multi_matches_per_zenith():
+    """Shared-matrix multi-RHS solve == independent per-zenith solves."""
+    B, nz, nzen = 19, 27, 3
+    tau, w0, gt = _atm(B, nz, seed=5)
+    rng = np.random.default_rng(6)
+    u0s = rng.uniform(0.2, 1.0, nzen)
+    rs = rng.uniform(0.0, 0.6, B)
+    from clima_tpu.ops.twostream import two_stream_solar_multi
+
+    got = two_stream_solar_multi(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+        jnp.asarray(u0s), jnp.asarray(rs),
+    )
+    for z in range(nzen):
+        ref = two_stream_solar(
+            jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+            jnp.full(B, u0s[z]), jnp.asarray(rs),
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g[z]), np.asarray(r), rtol=1e-10)
+
+
+def test_block2_pcr_multi_matches_per_rhs():
+    from clima_tpu.ops.tridiag import (
+        block2_pcr_components,
+        block2_pcr_components_multi,
+    )
+
+    rng = np.random.default_rng(11)
+    m, B, nrhs = 13, 5, 4
+    comps = [jnp.asarray(rng.uniform(0.1, 1.0, (B, m))) for _ in range(3)]
+    diags = [jnp.asarray(rng.uniform(3.0, 5.0, (B, m))) for _ in range(3)]
+    L01, M01, U10 = comps
+    M00, M10, M11 = diags
+    f0s = jnp.asarray(rng.uniform(-1.0, 1.0, (nrhs, B, m)))
+    f1s = jnp.asarray(rng.uniform(-1.0, 1.0, (nrhs, B, m)))
+    u0s, u1s = block2_pcr_components_multi(L01, M00, M01, M10, M11, U10, f0s, f1s)
+    for r in range(nrhs):
+        u0, u1 = block2_pcr_components(L01, M00, M01, M10, M11, U10, f0s[r], f1s[r])
+        np.testing.assert_allclose(np.asarray(u0s[r]), np.asarray(u0), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(u1s[r]), np.asarray(u1), rtol=1e-12)
+
+
 @pytest.mark.parametrize("hard", [True, False])
 def test_ir_kernel_matches_xla(interpret, hard):
     B, nz = 16, 21
