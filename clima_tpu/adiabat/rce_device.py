@@ -371,6 +371,7 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             attempt_it=jnp.asarray(0), it=jnp.asarray(0),
             dt=jnp.asarray(0.0, xm0.dtype), fnorm_prev=norm0,
             done=jnp.asarray(False), ok=jnp.asarray(False),
+            x_best=xm0, ratio_best=flux_ratio(dFdt0),
         )
 
         def cond(st):
@@ -515,12 +516,22 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
                 ),
                 done=done,
                 ok=converged,
+                x_best=jnp.where(
+                    flux_ratio(dFdt_out) < st["ratio_best"], x_out, st["x_best"]
+                ),
+                ratio_best=jnp.minimum(flux_ratio(dFdt_out), st["ratio_best"]),
             )
 
         st = jax.lax.while_loop(cond, body, state0)
         # the pre-loop evaluation may already satisfy the tolerance
         ok = st["ok"] | (flux_ratio(st["dFdt"]) < xtol_rc)
-        return st["x"], ok, st["it"]
+        # on failure hand back the best iterate seen, not wherever the last
+        # stage wandered: an unreachable tolerance (e.g. the f32 residual
+        # floor) otherwise lets PTC pseudo-time-march away from the answer
+        # after the Newton stages stall (observed: T_surf -> 537 K on TPU f32
+        # at xtol_rc=1e-5 while the 0.2-ratio iterate sat at 263 K)
+        x_ret = jnp.where(ok, st["x"], st["x_best"])
+        return x_ret, ok, st["it"]
 
     # ------------------------------------------------------------------
     # zone labeling + mask limiter (solve.f90:1118-1210)

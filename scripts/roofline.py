@@ -64,7 +64,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from clima_tpu.ops.twostream import two_stream_ir_auto, two_stream_solar_auto
+    from clima_tpu.ops.twostream import (
+        two_stream_ir_auto,
+        two_stream_solar_auto,
+        two_stream_solar_multi_auto,
+    )
     from clima_tpu.ops.pallas_rorr import k_rorr_mix_pallas
     from clima_tpu.physics.eqns import planck_fcn
 
@@ -129,6 +133,30 @@ def main():
     results.append(
         dict(kernel="two_stream_solar", time_ms=dt * 1e3,
              solves_per_s=B / dt, achieved_GBs=bytes_sol / dt / 1e9,
+             limiter="HBM")
+    )
+
+    # --- multi-zenith solar (shared matrix, 4 RHS — the production path) ---
+    nzen = 4
+    u0s = jnp.asarray(rng.uniform(0.2, 1.0, nzen), dtype=jnp.float32)
+
+    def make_sol_multi(K):
+        def f(t, w, g, r):
+            acc = 0.0
+            for i in range(K):
+                outs = two_stream_solar_multi_auto(
+                    t * (1.0 + 1e-6 * i), w, g, u0s, r
+                )
+                acc = acc + outs[0].sum() + outs[2].sum()
+            return acc
+
+        return jax.jit(f)
+
+    dt, _ = _slope(make_sol_multi, (tau, w0, gt, rs), args.iters)
+    bytes_solm = (3 * B * nz + B + 3 * nzen * B * (nz + 1)) * itemsize
+    results.append(
+        dict(kernel="two_stream_solar_multi4", time_ms=dt * 1e3,
+             solves_per_s=nzen * B / dt, achieved_GBs=bytes_solm / dt / 1e9,
              limiter="HBM")
     )
 

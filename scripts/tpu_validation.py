@@ -113,17 +113,26 @@ def pallas_parity(result):
         return jax.jit(lambda t, w, g, e, b: ts.two_stream_ir_auto(
             t, w, g, e, True, 1e-6, b))
 
+    u0s = jnp.asarray(rng.uniform(0.2, 1.0, 4), jnp.float32)  # shared zenith nodes
+
     ts.set_pallas_mode("never")
     am_x, _, fu_x, fd_x = jax.jit(ts.two_stream_solar_auto)(tau, w0, gt, u0, alb)
+    amm_x, _, fum_x, fdm_x = jax.jit(ts.two_stream_solar_multi_auto)(
+        tau, w0, gt, u0s, alb)
     iu_x, id_x = ir_fn()(tau, w0, gt, emis, bpl)
     np.asarray(fu_x)
     ts.set_pallas_mode("always")
     try:
         am_p, _, fu_p, fd_p = jax.jit(ts.two_stream_solar_auto)(tau, w0, gt, u0, alb)
+        amm_p, _, fum_p, fdm_p = jax.jit(ts.two_stream_solar_multi_auto)(
+            tau, w0, gt, u0s, alb)
         iu_p, id_p = ir_fn()(tau, w0, gt, emis, bpl)
         out["solar_fup_maxrel"] = maxrel(fu_p, fu_x)
         out["solar_fdn_maxrel"] = maxrel(fd_p, fd_x)
         out["solar_amean_maxrel"] = maxrel(am_p, am_x)
+        out["solar_multi_fup_maxrel"] = maxrel(fum_p, fum_x)
+        out["solar_multi_fdn_maxrel"] = maxrel(fdm_p, fdm_x)
+        out["solar_multi_amean_maxrel"] = maxrel(amm_p, amm_x)
         out["ir_fup_maxrel"] = maxrel(iu_p, iu_x)
         out["ir_fdn_maxrel"] = maxrel(id_p, id_x)
     finally:
@@ -180,43 +189,54 @@ def main():
         T_surf=ref["T_surf"], converged=ref["converged"], wall_s=ref["wall_s"]
     )
 
-    # 3. device RCE on this backend, seeded identically to the reference run
+    # 3. device RCE on this backend, seeded identically to the reference run.
+    # Two tolerances: the reference xtol_rc=1e-5 is UNREACHABLE in f32 (the
+    # equilibrium residual is a ~1e-8-relative cancellation of O(1e5) mW/m^2
+    # fluxes; the f32 IR two-stream alone carries ~1e-4 relative error), so
+    # the strict run documents the graceful best-iterate behavior, and the
+    # f32-floor run (1e-2) documents converged accuracy vs the f64 host.
     from clima_tpu.adiabat.rce_device import batched_rce
 
-    c = _model(args.nz, xtol_rc=args.xtol_rc)
-    P_i = _p_col(c)
-    B = 2
-    P_b = np.tile(P_i, (B, 1))
-    T_s = np.full(B, ref["T_surf_guess"])
-    T_seed = np.tile(np.asarray(ref["T_seed"]), (B, 1))
+    P_i = None
+    for key, xtol in (("device_rce_strict", args.xtol_rc),
+                      ("device_rce_f32floor", 1.0e-2)):
+        c = _model(args.nz, xtol_rc=xtol)
+        if P_i is None:
+            P_i = _p_col(c)
+        B = 2
+        P_b = np.tile(P_i, (B, 1))
+        T_s = np.full(B, ref["T_surf_guess"])
+        T_seed = np.tile(np.asarray(ref["T_seed"]), (B, 1))
 
-    t0 = time.perf_counter()
-    out = batched_rce(c, P_b, T_s, T_seed, record_trace=True)
-    T_surf_dev = np.asarray(out["T_surf"])  # round-trip sync
-    wall = time.perf_counter() - t0
-    trace = np.asarray(out["ratio_trace"])[0]
-    trace = trace[np.isfinite(trace)]
-    result["device_rce"] = dict(
-        dtype="float64" if jax.config.jax_enable_x64 else "float32",
-        xtol_rc=args.xtol_rc,
-        converged=[bool(b) for b in np.asarray(out["converged"])],
-        max_ratio=[float(v) for v in np.asarray(out["max_ratio"])],
-        rc_iters=[int(v) for v in np.asarray(out["rc_iters"])],
-        solve_iters=[int(v) for v in np.asarray(out["solve_iters"])],
-        ratio_trace=[float(v) for v in trace],
-        T_surf=[float(v) for v in T_surf_dev],
-        wall_s_total=wall,
-        columns=B,
-    )
-    mask_dev = np.asarray(out["convecting_with_below"])[0]
-    result["f32_vs_f64"] = dict(
-        dT_surf_K=float(T_surf_dev[0] - ref["T_surf"]),
-        dT_max_K=float(np.abs(np.asarray(out["T"])[0] - np.asarray(ref["T"])).max()),
-        mask_equal=bool((mask_dev == np.asarray(ref["mask"])).all()),
-    )
+        t0 = time.perf_counter()
+        out = batched_rce(c, P_b, T_s, T_seed, record_trace=True)
+        T_surf_dev = np.asarray(out["T_surf"])  # round-trip sync
+        wall = time.perf_counter() - t0
+        trace = np.asarray(out["ratio_trace"])[0]
+        trace = trace[np.isfinite(trace)]
+        mask_dev = np.asarray(out["convecting_with_below"])[0]
+        result[key] = dict(
+            dtype="float64" if jax.config.jax_enable_x64 else "float32",
+            xtol_rc=xtol,
+            converged=[bool(b) for b in np.asarray(out["converged"])],
+            max_ratio=[float(v) for v in np.asarray(out["max_ratio"])],
+            rc_iters=[int(v) for v in np.asarray(out["rc_iters"])],
+            solve_iters=[int(v) for v in np.asarray(out["solve_iters"])],
+            ratio_trace=[float(v) for v in trace],
+            T_surf=[float(v) for v in T_surf_dev],
+            wall_s_total=wall,
+            columns=B,
+            vs_cpu_f64=dict(
+                dT_surf_K=float(T_surf_dev[0] - ref["T_surf"]),
+                dT_max_K=float(
+                    np.abs(np.asarray(out["T"])[0] - np.asarray(ref["T"])).max()
+                ),
+                mask_equal=bool((mask_dev == np.asarray(ref["mask"])).all()),
+            ),
+        )
 
     json.dump(result, open(args.out, "w"), indent=1)
-    print(json.dumps(result["device_rce"] | result["f32_vs_f64"], indent=1))
+    print(json.dumps(result["device_rce_f32floor"], indent=1))
     print(f"wrote {args.out}")
 
 
