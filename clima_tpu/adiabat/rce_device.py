@@ -71,6 +71,7 @@ from .profile_rc import make_profile_rc_core, CustomMix
 from .altitude import compute_altitude_core
 from ..radtran.opacity import compute_opacity
 from ..radtran.radiate import radiate_ir, radiate_solar
+from ..ops.df64 import DF, to_df, df_concatenate, df_cumsum, df_map
 from ..utils.errors import ClimaException
 
 __all__ = ["build_rce_fns", "batched_rce"]
@@ -89,12 +90,22 @@ def _acc_dtype():
 
 
 def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600,
-                  max_line_search=8, record_trace=False):
+                  max_line_search=8, record_trace=False, flux_precision="auto"):
     """Build the pure single-column RCE functions from an AdiabatClimate.
 
     All configuration (tolerances, hysteresis knobs, strategy, opacity data)
     is read from ``c`` at build time and closed over as static values —
     changing knobs on ``c`` afterwards requires rebuilding.
+
+    ``flux_precision`` selects how the cancellation-prone flux residual is
+    evaluated: ``"standard"`` uses the native dtype (f64 with x64 enabled,
+    f32 otherwise — the f32 two-stream's ~1e-4 arithmetic error floors
+    convergence at max|F/F0| ~ 6e-3); ``"df64"`` carries Planck sources, the
+    two-stream solves and the frequency integral in float32 pairs
+    (:mod:`clima_tpu.radtran.radiate_df`, ~1e-9-relative fluxes), which
+    recovers the reference tolerance xtol_rc = 1e-5 on TPUs without float64
+    hardware at ~2-4x the RT cost. ``"auto"`` (default) picks df64 exactly
+    when x64 is disabled.
 
     Returns a dict of functions; the main entry is
     ``rce(x0, conv0, use_guess, P_i_surf) -> result dict``.
@@ -234,6 +245,12 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
     # RT + cancellation-safe edge flux assembly
     # ------------------------------------------------------------------
 
+    if flux_precision not in ("auto", "standard", "df64"):
+        raise ClimaException("flux_precision must be auto/standard/df64")
+    use_df = flux_precision == "df64" or (
+        flux_precision == "auto" and not jax.config.jax_enable_x64
+    )
+
     def _net_edge_parts(fup_a, fdn_a, freq_channel):
         """(base, d): net flux at physical edge 0 and its exact edge deltas."""
         acc = _acc_dtype()
@@ -243,11 +260,53 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         d = jnp.sum(jnp.diff(net, axis=0).astype(acc) * dfreq[None, :], axis=1)
         return base, d
 
-    def radiate_column(prof, T_surf, T_r):
+    if use_df:
+        from ..radtran.radiate_df import (
+            build_ir_parts_df, build_solar_parts_df,
+        )
+
+        _ir_parts_df = build_ir_parts_df(
+            ir_slice, rad.op.freq, op.kset.wbin, rad.surface_emissivity,
+            has_hard, ir_tau_min, n,
+        )
+        _sol_parts_df = build_solar_parts_df(
+            sol_slice, rad.op.freq, op.kset.wbin, rad.surface_albedo,
+            diurnal, rad.photons_sol * rad.photon_scale_factor,
+            rad.zenith_u, rad.zenith_weights, n,
+        )
+
+    def ir_parts(opr, T_surf, T_r, precise=True):
+        """(base, d) for the IR channel.
+
+        ``precise`` selects the df64 path (when enabled) — used for the
+        residual evaluations that gate convergence. The FD Jacobian and the
+        mask-update classification pass precise=False: a %-level Jacobian is
+        ample for damped Newton, and keeping those graphs in plain f32 cuts
+        the compiled program size by more than half (each df64 RT
+        instantiation is ~15x the HLO of the f32 one).
+        """
+        if use_df and precise:
+            return _ir_parts_df(opr, T_surf, T_r)
+        ir = radiate_ir(
+            ir_slice, freq_master, wbin, opr, emissivity, has_hard,
+            ir_tau_min, T_surf, T_r,
+        )
+        return _net_edge_parts(ir["fup_a"], ir["fdn_a"], freq_ir)
+
+    def sol_parts(opr, precise=True):
+        if use_df and precise:
+            return _sol_parts_df(opr)
+        sol = radiate_solar(
+            sol_slice, freq_master, wavl_master, wbin, opr, albedo, diurnal,
+            photons, zenith_u, zenith_w,
+        )
+        return _net_edge_parts(sol["fup_a"], sol["fdn_a"], freq_sol)
+
+    def column_opacity(prof, T_r):
         pdens_r = to_radiative_grid(prof["pdens"]) if np_ > 0 else None
         prad_r = to_radiative_grid(prof["pradii"]) if np_ > 0 else None
         dz_half = 0.5 * prof["dz"]
-        opr = compute_opacity(
+        return compute_opacity(
             op,
             to_radiative_grid(prof["P_c"]) / 1.0e6,
             T_r,
@@ -256,18 +315,24 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             pdens_r,
             prad_r,
         )
-        ir = radiate_ir(
-            ir_slice, freq_master, wbin, opr, emissivity, has_hard,
-            ir_tau_min, T_surf, T_r,
-        )
-        sol = radiate_solar(
-            sol_slice, freq_master, wavl_master, wbin, opr, albedo, diurnal,
-            photons, zenith_u, zenith_w,
-        )
-        return opr, ir, sol
 
     def assemble_f_total(b_ir, d_ir, b_sol, d_sol):
-        """f_total at physical edges, ground-up, + surface heat flow at [0]."""
+        """f_total at physical edges, ground-up, + surface heat flow at [0].
+
+        When any channel part is a DF pair (df64 mode), the base sum and the
+        edge cumsum are accumulated in pairs and collapsed to plain f32 only
+        at the end (the collapse error ~6e-8 * |f_total| is negligible
+        against xtol_rc once near equilibrium, where f_total itself is
+        small). Mixed plain/DF inputs occur in the FD Jacobian: the frozen
+        solar parts are DF (from the precise objective) while the
+        re-radiated IR parts are plain f32.
+        """
+        if isinstance(b_ir, DF) or isinstance(b_sol, DF):
+            f0 = to_df(b_ir) + to_df(b_sol) + shf  # DF scalar
+            cums = df_cumsum(to_df(d_ir) + to_df(d_sol), axis=0)
+            f0_1 = df_map(lambda a: a[None], f0)
+            out = df_concatenate([f0_1, f0_1 + cums], axis=0)
+            return out.astype_sum()
         f0 = b_ir + b_sol + shf
         return jnp.concatenate([f0[None], f0 + jnp.cumsum(d_ir + d_sol)])
 
@@ -303,18 +368,19 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
     # objective + Jacobian
     # ------------------------------------------------------------------
 
-    def objective(x, conv, P_i_surf):
+    def objective(x, conv, P_i_surf, precise=True):
         """Full objective: rebuild, radiate, masked residuals.
 
         Returns (x_model, dFdt, dTdt, aux); aux carries everything the
-        frozen-opacity Jacobian and mask updates need.
+        frozen-opacity Jacobian and mask updates need. ``precise`` routes
+        the flux assembly through df64 when enabled (see ir_parts).
         """
         prof = rebuild(x, conv, P_i_surf)
         x_model = prof["x_model"]
         T_r = to_radiative_grid(x_model[1:])
-        opr, ir, sol = radiate_column(prof, x_model[0], T_r)
-        b_ir, d_ir = _net_edge_parts(ir["fup_a"], ir["fdn_a"], freq_ir)
-        b_sol, d_sol = _net_edge_parts(sol["fup_a"], sol["fdn_a"], freq_sol)
+        opr = column_opacity(prof, T_r)
+        b_ir, d_ir = ir_parts(opr, x_model[0], T_r, precise)
+        b_sol, d_sol = sol_parts(opr, precise)
         f_total = assemble_f_total(b_ir, d_ir, b_sol, d_sol)
         dFdt, dTdt = residuals(
             x_model, conv, f_total, prof["f_c"], prof["P_c"], prof["dz"]
@@ -337,11 +403,7 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
 
         def one(Ts, T_lay, delta):
             T_r = to_radiative_grid(T_lay)
-            ir = radiate_ir(
-                ir_slice, freq_master, wbin, aux["opr"], emissivity,
-                has_hard, ir_tau_min, Ts, T_r,
-            )
-            b_ir, d_ir = _net_edge_parts(ir["fup_a"], ir["fdn_a"], freq_ir)
+            b_ir, d_ir = ir_parts(aux["opr"], Ts, T_r, False)
             f_total = assemble_f_total(b_ir, d_ir, aux["b_sol"], aux["d_sol"])
             xm = jnp.concatenate([Ts[None], T_lay])
             _, dTdt_p = residuals(xm, conv, f_total, aux["f_c"], aux["P_c"], aux["dz"])
@@ -624,7 +686,9 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
     def mode1_update(x_model, save, lock, P_i_surf):
         """Trial-Newton-step classification on the all-radiative system."""
         zeros = jnp.zeros(nz, bool)
-        xm, dFdt, dTdt, aux = objective(x_model, zeros, P_i_surf)
+        # f32 flux path suffices here: this classifies convective instability
+        # from a trial step, not the convergence residual
+        xm, dFdt, dTdt, aux = objective(x_model, zeros, P_i_surf, precise=False)
         J = jacobian(xm, zeros, aux, dTdt)
         deltaT = jnp.linalg.solve(J, -dTdt)
         alpha0 = min(max(0.0, newton_step_size), 1.0)

@@ -51,6 +51,24 @@ __all__ = ["DF", "to_df", "df_where", "df_concatenate", "two_sum", "two_prod"]
 _SPLIT = 4097.0  # 2^12 + 1 (Dekker split constant for float32)
 
 
+def _seal(hi, lo):
+    """Barrier a freshly computed (hi, lo) pair on the CPU backend.
+
+    XLA:CPU's recompute-in-consumer fusion duplicates a value's defining
+    subgraph into EVERY consumer; DF arithmetic reads each operand several
+    times, so deep DF expressions blow up exponentially (measured: a two-
+    stream solve at (64, 26) took 49 s on CPU and 158k optimized-HLO lines,
+    vs milliseconds expected). An optimization_barrier after every DF op
+    pins each pair to be computed once — near-eager runtime, linear compile.
+    TPU's fusion is multi-output and handles the graphs fine (df64 IR
+    two-stream measured 4.1x plain f32 there), so the barrier is skipped to
+    preserve cross-op fusion.
+    """
+    if jax.default_backend() == "cpu":
+        return jax.lax.optimization_barrier((hi, lo))
+    return hi, lo
+
+
 def two_sum(a, b):
     """Error-free sum: returns (s, e) with s = fl(a+b) and s + e == a + b."""
     s = a + b
@@ -132,7 +150,7 @@ class DF:
         s, e = two_sum(self.hi, o.hi)
         e = e + (self.lo + o.lo)
         hi, lo = fast_two_sum(s, e)
-        return DF(hi, lo)
+        return DF(*_seal(hi, lo))
 
     __radd__ = __add__
 
@@ -150,7 +168,7 @@ class DF:
         p, e = two_prod(self.hi, o.hi)
         e = e + (self.hi * o.lo + self.lo * o.hi)
         hi, lo = fast_two_sum(p, e)
-        return DF(hi, lo)
+        return DF(*_seal(hi, lo))
 
     __rmul__ = __mul__
 
@@ -162,7 +180,7 @@ class DF:
         r = r - o * q2
         q3 = r.hi / o.hi
         hi, lo = fast_two_sum(q1, q2)
-        return DF(hi, lo) + q3
+        return DF(*_seal(hi, lo)) + q3
 
     def __rtruediv__(self, other):
         return to_df(other) / self
@@ -424,6 +442,29 @@ def df_cumsum(x, axis=-1):
         cur = cur + DF(shifted(cur.hi, k), shifted(cur.lo, k))
         k *= 2
     return cur
+
+
+def df_flush_tiny(x, eps=1e-15):
+    """Zero a DF pair where |hi| < eps (default 1e-15).
+
+    Two reasons to flush geometrically-decaying quantities (e.g. exp(-lam
+    tau) transmissions, PCR off-diagonals):
+
+    * Precision window: below ~1e-26 the pair silently degrades (module
+      docstring); at 1e-15 the dropped contribution is ~3 orders below the
+      pair epsilon (~6e-13 relative) for O(1) arithmetic.
+    * x86 runtime: products of two sub-1e-19 values create SUBNORMAL
+      intermediates inside ``two_prod`` (the Dekker split parts multiply),
+      and x86 handles subnormals via ~100-cycle microcode assists — measured
+      30x wall-clock blowup of the df64 two-stream on XLA:CPU before these
+      flushes. 1e-15 keeps every split-product normal (1e-15 * 2^-12 squared
+      is still > the f32 min normal). TPU flushes subnormals in hardware
+      (no penalty), so this costs only the selects there.
+    """
+    x = to_df(x)
+    keep = jnp.abs(x.hi) >= eps
+    zero = jnp.zeros((), x.hi.dtype)
+    return DF(jnp.where(keep, x.hi, zero), jnp.where(keep, x.lo, zero))
 
 
 def df_maximum(a, b):

@@ -26,11 +26,12 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from .df64 import (
     DF, to_df, const_df, df_where, df_concatenate, df_sqrt, df_exp, df_expm1,
-    df_cumsum, df_map, df_zeros_like,
+    df_cumsum, df_flush_tiny, df_map, df_zeros_like,
 )
 from .. import constants as const
 
@@ -88,6 +89,26 @@ def _shift_df(x, k, fill):
     )
 
 
+
+def _barrier(*dfs):
+    """Identity optimization barrier over DF values.
+
+    XLA:CPU's recompute-in-consumer fusion duplicates deep DF expression
+    diamonds recursively (each DF op reads its operands several times), which
+    blows the optimized HLO up exponentially with depth — measured 50x
+    runtime and 4x compile on the PCR sweeps before these barriers. A
+    barrier after each sweep forces materialization of the carried state,
+    bounding duplication to one sweep. On TPU the barrier is effectively
+    free (fusions are multi-output there, but the barrier also does no
+    harm to them).
+    """
+    flat = []
+    for d in dfs:
+        flat.extend((d.hi, d.lo))
+    out = jax.lax.optimization_barrier(tuple(flat))
+    return tuple(DF(out[2 * i], out[2 * i + 1]) for i in range(len(dfs)))
+
+
 def block2_pcr_components_df(L01, M00, M01, M10, M11, U10, f0, f1):
     """df64 2x2-block PCR (structured form of ops.tridiag.block2_pcr_components)."""
     m = L01.hi.shape[-1]
@@ -106,13 +127,15 @@ def block2_pcr_components_df(L01, M00, M01, M10, M11, U10, f0, f1):
         g0 = U10 * _shift_df(i00, +k, 1.0)
         g1 = U10 * _shift_df(i01, +k, 0.0)
 
-        L01_new = -(a0 * _shift_df(L01, -k, 0.0))
-        U10_new = -(g1 * _shift_df(U10, +k, 0.0))
+        L01_new = df_flush_tiny(-(a0 * _shift_df(L01, -k, 0.0)))
+        U10_new = df_flush_tiny(-(g1 * _shift_df(U10, +k, 0.0)))
         M00 = M00 - a1 * _shift_df(U10, -k, 0.0)
         M11 = M11 - g0 * _shift_df(L01, +k, 0.0)
         f0_new = f0 - a0 * _shift_df(f0, -k, 0.0) - a1 * _shift_df(f1, -k, 0.0)
         f1_new = f1 - g0 * _shift_df(f0, +k, 0.0) - g1 * _shift_df(f1, +k, 0.0)
-        L01, U10, f0, f1 = L01_new, U10_new, f0_new, f1_new
+        L01, U10, f0, f1, M00, M11 = _barrier(
+            L01_new, U10_new, f0_new, f1_new, M00, M11
+        )
 
     inv_det = one / (M00 * M11 - M01 * M10)
     u0 = (M11 * f0 - M01 * f1) * inv_det
@@ -140,8 +163,8 @@ def block2_pcr_components_multi_df(L01, M00, M01, M10, M11, U10, f0s, f1s):
         g0 = U10 * _shift_df(i00, +k, 1.0)
         g1 = U10 * _shift_df(i01, +k, 0.0)
 
-        L01_new = -(a0 * _shift_df(L01, -k, 0.0))
-        U10_new = -(g1 * _shift_df(U10, +k, 0.0))
+        L01_new = df_flush_tiny(-(a0 * _shift_df(L01, -k, 0.0)))
+        U10_new = df_flush_tiny(-(g1 * _shift_df(U10, +k, 0.0)))
         M00 = M00 - a1 * _shift_df(U10, -k, 0.0)
         M11 = M11 - g0 * _shift_df(L01, +k, 0.0)
         f0_new = (
@@ -152,7 +175,9 @@ def block2_pcr_components_multi_df(L01, M00, M01, M10, M11, U10, f0s, f1s):
             f1s - expand(g0) * _shift_df(f0s, +k, 0.0)
             - expand(g1) * _shift_df(f1s, +k, 0.0)
         )
-        L01, U10, f0s, f1s = L01_new, U10_new, f0_new, f1_new
+        L01, U10, f0s, f1s, M00, M11 = _barrier(
+            L01_new, U10_new, f0_new, f1_new, M00, M11
+        )
 
     inv_det = one / (M00 * M11 - M01 * M10)
     u0s = (expand(M11) * f0s - expand(M01) * f1s) * expand(inv_det)
@@ -161,7 +186,10 @@ def block2_pcr_components_multi_df(L01, M00, M01, M10, M11, U10, f0s, f1s):
 
 
 def _es_df(lam, cap_gam, tau):
-    wrk = df_exp(-(lam * tau))
+    # flush transmissions below 1e-15: contribution is ~3 orders under the
+    # pair epsilon, and it keeps every downstream product's two_prod
+    # internals out of the f32 subnormal range (df64.df_flush_tiny)
+    wrk = df_flush_tiny(df_exp(-(lam * tau)))
     e1 = cap_gam * wrk + 1.0
     e2 = -(cap_gam * wrk) + 1.0
     e3 = cap_gam + wrk
@@ -335,8 +363,10 @@ def two_stream_solar_multi_df(tau_in, w0_in, gt_in, u0s, Rsfc):
     gam4 = -gam3 + 1.0
     facp = expand(w0) * ((expand(gam1) - inv_u0) * gam3 + gam4 * expand(gam2)) * Fs_pi
     facm = expand(w0) * ((expand(gam1) + inv_u0) * gam4 + expand(gam2) * gam3) * Fs_pi
-    et0 = df_exp(-(df_map(lambda a: jnp.expand_dims(a[..., :-1], 0), tauc) * inv_u0))
-    etb = et0 * df_exp(-(expand(tau) * inv_u0))
+    et0 = df_flush_tiny(
+        df_exp(-(df_map(lambda a: jnp.expand_dims(a[..., :-1], 0), tauc) * inv_u0))
+    )
+    etb = df_flush_tiny(et0 * df_exp(-(expand(tau) * inv_u0)))
     denom = expand(lam * lam) - inv_u0 * inv_u0
 
     direct = df_concatenate(
