@@ -159,6 +159,8 @@ def main():
     ap.add_argument("--cpu-ref", default=None, help="internal: write cpu ref")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--only", default=None,
+                    choices=["device_rce_strict", "device_rce_f32floor",
+                             "device_rce_df64_strict"],
                     help="run a single device_rce_* entry and merge it into "
                          "an existing --out artifact (e.g. "
                          "--only device_rce_df64_strict --skip-parity)")
@@ -171,13 +173,19 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
+    x64 = bool(jax.config.jax_enable_x64)
     if args.only and os.path.exists(args.out):
+        # merge mode: keep existing entries untouched; each device_rce_*
+        # entry carries its own platform/nz/x64 so a merge under a different
+        # config cannot mislabel older entries (advisor r3 finding)
         result = json.load(open(args.out))
-        result.update(platform=platform, nz=args.nz,
-                      x64=bool(jax.config.jax_enable_x64))
+        if result.get("nz") not in (None, args.nz):
+            raise SystemExit(
+                f"refusing to merge: existing artifact has nz={result.get('nz')} "
+                f"but this run uses nz={args.nz}"
+            )
     else:
-        result = dict(platform=platform, nz=args.nz,
-                      x64=bool(jax.config.jax_enable_x64))
+        result = dict(platform=platform, nz=args.nz, x64=x64)
 
     # 1. Pallas parity (real lowering on this backend)
     if not args.skip_parity:
@@ -220,10 +228,15 @@ def main():
         c = _model(args.nz, xtol_rc=xtol)
         if P_i is None:
             P_i = _p_col(c)
+        # heterogeneous batch (VERDICT r3 weak 7): lane 0 is the CPU-ref
+        # column; lane 1 has 4x CO2 and perturbed guesses, so the batched
+        # while_loops exercise per-lane masks/iteration counts on hardware
         B = 2
         P_b = np.tile(P_i, (B, 1))
-        T_s = np.full(B, ref["T_surf_guess"])
+        P_b[1, c.species_names.index("CO2")] *= 4.0
+        T_s = np.array([ref["T_surf_guess"], ref["T_surf_guess"] + 5.0])
         T_seed = np.tile(np.asarray(ref["T_seed"]), (B, 1))
+        T_seed[1] += 2.0
 
         t0 = time.perf_counter()
         out = batched_rce(c, P_b, T_s, T_seed, record_trace=True,
@@ -234,6 +247,7 @@ def main():
         trace = trace[np.isfinite(trace)]
         mask_dev = np.asarray(out["convecting_with_below"])[0]
         result[key] = dict(
+            platform=platform, nz=args.nz, x64=x64,
             dtype="float64" if jax.config.jax_enable_x64 else "float32",
             flux_precision=fprec,
             xtol_rc=xtol,

