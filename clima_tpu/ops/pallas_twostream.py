@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -27,7 +28,9 @@ from . import twostream as ts
 __all__ = [
     "two_stream_solar_pallas",
     "two_stream_solar_multi_pallas",
+    "two_stream_solar_multi_weighted_pallas",
     "two_stream_ir_pallas",
+    "two_stream_ir_weighted_pallas",
 ]
 
 
@@ -138,6 +141,155 @@ def two_stream_solar_multi_pallas(tau, w0, gt, u0s, Rsfc, block_b=64):
         ),
     )(tau, w0, gt, jnp.asarray(u0s, dt)[:, None], Rsfc[:, None])
     return amean, srad[..., 0], fup, fdn
+
+
+def _reduction_matrix(k, nG, wbin, dtype):
+    """(k, k*nG) block-diagonal gauss-weight matrix: W[j, j*nG+g] = wbin[g].
+
+    The same matrix serves every grid block (the wbin pattern repeats every
+    nG rows), so it is passed once with a constant index_map. Contracting
+    with it on the MXU performs the per-bin gauss reduction in-kernel.
+    """
+    W = np.zeros((k, k * nG), dtype)
+    for j in range(k):
+        W[j, j * nG : (j + 1) * nG] = np.asarray(wbin, dtype)
+    return jnp.asarray(W)
+
+
+def _pad_rows(arrs, B, bb, pad_vals):
+    """Zero-risk row padding to a bb multiple (pad rows form their own
+    gauss groups, so they only ever contribute to discarded output rows)."""
+    rem = (-B) % bb
+    if rem == 0:
+        return arrs
+    out = []
+    for a, v in zip(arrs, pad_vals):
+        pad = jnp.full((rem,) + a.shape[1:], v, a.dtype)
+        out.append(jnp.concatenate([a, pad], axis=0))
+    return out
+
+
+def _solar_multi_weighted_kernel(tau_ref, w0_ref, gt_ref, u0s_ref, rs_ref,
+                                 zw_ref, wred_ref, am_ref, fup_ref, fdn_ref):
+    amean, _, fup, fdn = ts.two_stream_solar_multi(
+        tau_ref[...], w0_ref[...], gt_ref[...],
+        jnp.squeeze(u0s_ref[...], -1), jnp.squeeze(rs_ref[...], -1),
+    )
+    # zenith-weight contraction over the leading axis (cheap: the minor two
+    # dims stay tiled), then the gauss-group reduction as one MXU matmul
+    zw = zw_ref[...][:, :, None]  # (nzen, 1, 1)
+    wred = wred_ref[...]
+    am_ref[...] = jnp.dot(wred, jnp.sum(amean * zw, axis=0),
+                          preferred_element_type=am_ref.dtype)
+    fup_ref[...] = jnp.dot(wred, jnp.sum(fup * zw, axis=0),
+                           preferred_element_type=fup_ref.dtype)
+    fdn_ref[...] = jnp.dot(wred, jnp.sum(fdn * zw, axis=0),
+                           preferred_element_type=fdn_ref.dtype)
+
+
+def two_stream_solar_multi_weighted_pallas(tau, w0, gt, u0s, Rsfc, zw, wbin,
+                                           block_b=64):
+    """Weight-fused multi-zenith solar kernel: tau/w0/gt (nw*nG, nz)
+    bin-major; u0s/zw (nzen,); wbin (nG,). Returns (am_w, fup_w, fdn_w) of
+    shape (nw, nz+1) — the zenith- and gauss-weighted sums.
+
+    vs :func:`two_stream_solar_multi_pallas` + XLA reduction this never
+    writes the (nzen, nw*nG, nz+1) x3 intermediates to HBM: output traffic
+    drops by nzen*nG (~32x at nzen=4, nG=8), which is what moves the solar
+    kernel from ~10% of HBM peak toward the IR kernel's fraction
+    (VERDICT r3 item 3; weight semantics of
+    clima_radtran_radiate.f90:121-135).
+    """
+    B, nz = tau.shape
+    nG = int(np.shape(wbin)[0]) if hasattr(wbin, "shape") else len(wbin)
+    nzen = u0s.shape[0]
+    dt = tau.dtype
+    bb = min(block_b, max(B, nG))
+    bb -= bb % nG  # whole gauss groups per block
+    bb = max(bb, nG)
+    k = bb // nG
+    tau, w0, gt, Rsfc = _pad_rows(
+        [tau, w0, gt, jnp.asarray(Rsfc)], B, bb, [1e-3, 0.5, 0.1, 0.0]
+    )
+    Bp = tau.shape[0]
+    nw_pad = Bp // nG
+    nw = B // nG
+    grid = (Bp // bb,)
+    spec2, spec1, _ = _block(bb, nz)
+    uspec = pl.BlockSpec((nzen, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((k, bb), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((k, nz + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    wred = _reduction_matrix(k, nG, np.asarray(wbin), dt)
+
+    am_w, fup_w, fdn_w = pl.pallas_call(
+        _solar_multi_weighted_kernel,
+        grid=grid,
+        in_specs=[spec2, spec2, spec2, uspec, spec1, uspec, wspec],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
+            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
+            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
+        ),
+    )(tau, w0, gt, jnp.asarray(u0s, dt)[:, None], Rsfc[:, None],
+      jnp.asarray(zw, dt)[:, None], wred)
+    return am_w[:nw], fup_w[:nw], fdn_w[:nw]
+
+
+def _ir_weighted_kernel(tau_ref, w0_ref, gt_ref, emis_ref, bpl_ref, wred_ref,
+                        fup_ref, fdn_ref, *, has_hard_surface, tau_min):
+    fup, fdn = ts.two_stream_ir(
+        tau_ref[...], w0_ref[...], gt_ref[...],
+        jnp.squeeze(emis_ref[...], -1),
+        has_hard_surface, tau_min, bpl_ref[...],
+    )
+    wred = wred_ref[...]
+    fup_ref[...] = jnp.dot(wred, fup, preferred_element_type=fup_ref.dtype)
+    fdn_ref[...] = jnp.dot(wred, fdn, preferred_element_type=fdn_ref.dtype)
+
+
+def two_stream_ir_weighted_pallas(tau, w0, gt, emissivity, has_hard_surface,
+                                  tau_min, bplanck, wbin, block_b=128):
+    """Weight-fused IR kernel: tau/w0/gt (nw*nG, nz) bin-major, bplanck
+    (nw*nG, nz+1), wbin (nG,). Returns (fup_w, fdn_w) of shape (nw, nz+1)
+    — the gauss-weighted sums (an nG-fold write-traffic cut)."""
+    B, nz = tau.shape
+    nG = int(np.shape(wbin)[0]) if hasattr(wbin, "shape") else len(wbin)
+    dt = tau.dtype
+    bb = min(block_b, max(B, nG))
+    bb -= bb % nG
+    bb = max(bb, nG)
+    k = bb // nG
+    tau, w0, gt, emissivity, bplanck = _pad_rows(
+        [tau, w0, gt, jnp.asarray(emissivity), bplanck], B, bb,
+        [1e-3, 0.5, 0.1, 1.0, 1.0],
+    )
+    Bp = tau.shape[0]
+    nw_pad = Bp // nG
+    nw = B // nG
+    grid = (Bp // bb,)
+    spec2, spec1, spec_e = _block(bb, nz)
+    wspec = pl.BlockSpec((k, bb), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((k, nz + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    wred = _reduction_matrix(k, nG, np.asarray(wbin), dt)
+
+    kernel = functools.partial(
+        _ir_weighted_kernel, has_hard_surface=has_hard_surface,
+        tau_min=tau_min,
+    )
+    fup_w, fdn_w = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec2, spec2, spec2, spec1, spec_e, wspec],
+        out_specs=(ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
+            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
+        ),
+    )(tau, w0, gt, emissivity[:, None], bplanck, wred)
+    return fup_w[:nw], fdn_w[:nw]
 
 
 def two_stream_ir_pallas(tau, w0, gt, emissivity, has_hard_surface, tau_min,

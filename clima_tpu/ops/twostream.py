@@ -25,7 +25,9 @@ from .. import constants as const
 __all__ = [
     "two_stream_solar",
     "two_stream_solar_multi",
+    "two_stream_solar_multi_weighted",
     "two_stream_ir",
+    "two_stream_ir_weighted",
     "set_tridiag_method",
 ]
 
@@ -88,6 +90,72 @@ def two_stream_solar_multi_auto(tau, w0, gt, u0s, Rsfc):
 
         return two_stream_solar_multi_pallas(tau, w0, gt, u0s, Rsfc)
     return two_stream_solar_multi(tau, w0, gt, u0s, Rsfc)
+
+
+def two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin):
+    """Multi-zenith solar solve with the zenith- and gauss-weight reductions
+    applied: tau/w0/gt (nw*nG, nz) flattened bin-major; u0s/zw (nzen,)
+    zenith cosines and weights; wbin (nG,) gauss weights.
+
+    Returns (am_w, fup_w, fdn_w) of shape (nw, nz+1):
+    ``sum_z sum_g zw[z] * wbin[g] * X[z, w*nG+g]`` — exactly the contraction
+    ``radiate_solar`` performs on the unreduced outputs
+    (clima_radtran_radiate.f90:121-135 weight accumulation). XLA reference
+    path; the TPU kernel fuses the reduction to avoid writing the
+    (nzen, nw*nG, nz+1) intermediates to HBM at all.
+    """
+    B, _ = tau.shape
+    nG = wbin.shape[0]
+    nw = B // nG
+    amean, _, fup, fdn = two_stream_solar_multi(tau, w0, gt, u0s, Rsfc)
+    unflat = lambda x: x.reshape(u0s.shape[0], nw, nG, -1)
+    red = lambda x: jnp.einsum("zwgk,g,z->wk", unflat(x), wbin, zw)
+    return red(amean), red(fup), red(fdn)
+
+
+def two_stream_solar_multi_weighted_auto(tau, w0, gt, u0s, Rsfc, zw, wbin):
+    """Dispatch the weight-fused multi-zenith solar solve to Pallas on TPU."""
+    if _use_pallas() and tau.ndim == 2:
+        from .pallas_twostream import two_stream_solar_multi_weighted_pallas
+
+        return two_stream_solar_multi_weighted_pallas(
+            tau, w0, gt, u0s, Rsfc, zw, wbin
+        )
+    return two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin)
+
+
+def two_stream_ir_weighted(tau, w0, gt, emissivity, has_hard_surface,
+                           tau_min, bplanck, wbin):
+    """IR two-stream with the gauss-weight reduction applied: tau/w0/gt
+    (nw*nG, nz) flattened bin-major; wbin (nG,).
+
+    Returns (fup_w, fdn_w) of shape (nw, nz+1):
+    ``sum_g wbin[g] * X[w*nG+g]``. XLA reference path; the TPU kernel fuses
+    the reduction (an 8x write-traffic cut at nG=8).
+    """
+    B, _ = tau.shape
+    nG = wbin.shape[0]
+    nw = B // nG
+    fup, fdn = two_stream_ir(
+        tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck
+    )
+    red = lambda x: jnp.einsum("wgk,g->wk", x.reshape(nw, nG, -1), wbin)
+    return red(fup), red(fdn)
+
+
+def two_stream_ir_weighted_auto(tau, w0, gt, emissivity, has_hard_surface,
+                                tau_min, bplanck, wbin):
+    """Dispatch the weight-fused IR solve to Pallas on TPU."""
+    if _use_pallas() and tau.ndim == 2 and isinstance(tau_min, (int, float)):
+        from .pallas_twostream import two_stream_ir_weighted_pallas
+
+        return two_stream_ir_weighted_pallas(
+            tau, w0, gt, emissivity, has_hard_surface, float(tau_min),
+            bplanck, wbin,
+        )
+    return two_stream_ir_weighted(
+        tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck, wbin
+    )
 
 
 def two_stream_ir_auto(tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck):

@@ -252,6 +252,9 @@ def main():
             flux_precision=fprec,
             xtol_rc=xtol,
             converged=[bool(b) for b in np.asarray(out["converged"])],
+            status=[int(v) for v in np.asarray(out["status"])],
+            ratio_best=[float(v) for v in np.asarray(out["ratio_best"])],
+            ratio_floor=[float(v) for v in np.asarray(out["ratio_floor"])],
             max_ratio=[float(v) for v in np.asarray(out["max_ratio"])],
             rc_iters=[int(v) for v in np.asarray(out["rc_iters"])],
             solve_iters=[int(v) for v in np.asarray(out["solve_iters"])],

@@ -172,3 +172,93 @@ def test_fused_chain_matches_sequential_xla(interpret, nbin):
     got = np.asarray(k_rorr_mix_pallas(jnp.asarray(tau_ks), wbin, wbin_e,
                                        block_l=32))
     np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_solar_multi_weighted_kernel_matches_xla(interpret):
+    from clima_tpu.ops.twostream import (
+        two_stream_solar_multi_weighted,
+    )
+
+    nw, nG, nz = 7, 4, 33  # nw*nG=28 not divisible by block_b -> pad path
+    B = nw * nG
+    tau, w0, gt = _atm(B, nz, seed=5)
+    rng = np.random.default_rng(6)
+    u0s = rng.uniform(0.2, 1.0, 3)
+    rs = rng.uniform(0.0, 0.6, B)
+    zw = rng.uniform(0.1, 0.5, 3)
+    x, w = np.polynomial.legendre.leggauss(nG)
+    wbin = w / 2.0
+
+    ref = two_stream_solar_multi_weighted(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt), jnp.asarray(u0s),
+        jnp.asarray(rs), jnp.asarray(zw), jnp.asarray(wbin),
+    )
+    got = pts.two_stream_solar_multi_weighted_pallas(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt), jnp.asarray(u0s),
+        jnp.asarray(rs), jnp.asarray(zw), jnp.asarray(wbin), block_b=8,
+    )
+    for r, g in zip(ref, got):
+        assert g.shape == (nw, nz + 1)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-9,
+                                   atol=1e-12)
+
+
+@pytest.mark.parametrize("hard", [True, False])
+def test_ir_weighted_kernel_matches_xla(interpret, hard):
+    from clima_tpu.ops.twostream import two_stream_ir_weighted
+
+    nw, nG, nz = 5, 8, 21
+    B = nw * nG
+    tau, w0, gt = _atm(B, nz, seed=7)
+    rng = np.random.default_rng(8)
+    emis = rng.uniform(0.8, 1.0, B)
+    bpl = rng.uniform(1e-2, 1.0, (B, nz + 1))
+    x, w = np.polynomial.legendre.leggauss(nG)
+    wbin = w / 2.0
+    tau_min = 1e-6
+    tau[2, 5] = 1e-7  # exercise the thin-layer branch
+
+    ref = two_stream_ir_weighted(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt), jnp.asarray(emis),
+        hard, tau_min, jnp.asarray(bpl), jnp.asarray(wbin),
+    )
+    got = pts.two_stream_ir_weighted_pallas(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt), jnp.asarray(emis),
+        hard, tau_min, jnp.asarray(bpl), jnp.asarray(wbin), block_b=16,
+    )
+    for r, g in zip(ref, got):
+        assert g.shape == (nw, nz + 1)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-9,
+                                   atol=1e-12)
+
+
+def test_weighted_xla_equals_unfused_reduction():
+    """The weighted XLA path is exactly the multi solve + einsum contraction
+    radiate_solar used to perform (no Pallas involved)."""
+    from clima_tpu.ops.twostream import (
+        two_stream_solar_multi,
+        two_stream_solar_multi_weighted,
+    )
+
+    nw, nG, nz = 6, 8, 41
+    B = nw * nG
+    tau, w0, gt = _atm(B, nz, seed=9)
+    rng = np.random.default_rng(10)
+    u0s = rng.uniform(0.2, 1.0, 4)
+    rs = rng.uniform(0.0, 0.6, B)
+    zw = rng.uniform(0.1, 0.5, 4)
+    x, w = np.polynomial.legendre.leggauss(nG)
+    wbin = w / 2.0
+
+    amean, _, fup, fdn = two_stream_solar_multi(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+        jnp.asarray(u0s), jnp.asarray(rs),
+    )
+    unflat = lambda a: np.asarray(a).reshape(4, nw, nG, nz + 1)
+    am_w, fup_w, fdn_w = two_stream_solar_multi_weighted(
+        jnp.asarray(tau), jnp.asarray(w0), jnp.asarray(gt),
+        jnp.asarray(u0s), jnp.asarray(rs), jnp.asarray(zw), jnp.asarray(wbin),
+    )
+    for got, raw in [(am_w, amean), (fup_w, fup), (fdn_w, fdn)]:
+        want = np.einsum("zwgk,g,z->wk", unflat(raw), wbin, zw)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
