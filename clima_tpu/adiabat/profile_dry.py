@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..config.species import heat_capacity
-from ..ops.interp import searchsorted_right
+from ..ops.interp import searchsorted_right, pdot
 from .profile import AdiabatParams
 
 __all__ = ["make_profile_dry_core"]
@@ -50,7 +50,7 @@ def make_profile_dry_core(par: AdiabatParams, P_in, T_in, f_i_in):
     )
     f_i_e = 10.0**f_i_e  # (ne, ng)
 
-    mubar_e = f_i_e @ par.gas_masses
+    mubar_e = pdot(f_i_e, par.gas_masses)
 
     # dry adiabat lapse rate R/cp at each level (dry.f90:275-308)
     cp_i = jax.vmap(lambda T: heat_capacity(par.thermo, T))(T_e)  # (ne, ng)

@@ -10,9 +10,26 @@ e.g. ``clima_radtran_types.f90:655-656``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["interp1d", "interp2d", "searchsorted_right", "hat_weights"]
+__all__ = ["interp1d", "interp2d", "searchsorted_right", "hat_weights",
+           "pdot"]
+
+
+def pdot(a, b):
+    """Full-f32-precision matmul for precision-critical contractions.
+
+    On TPU, f32 matmuls default to ONE bf16 MXU pass (~0.4% relative
+    error). For hat-weight interpolation and weighted flux reductions that
+    quantization is a correctness bug: it staircases the RCE residual as a
+    function of temperature and was measured to floor device convergence at
+    max|F/F0| ~ 2.5e-3 regardless of the flux path's own precision
+    (f32 OR df64). Precision.HIGHEST runs the 6-pass f32-equivalent MXU
+    algorithm; these contractions are small, so the cost is negligible next
+    to the opacity/RT tensors they feed.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def hat_weights(grid, x):

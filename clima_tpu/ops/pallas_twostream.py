@@ -179,12 +179,15 @@ def _solar_multi_weighted_kernel(tau_ref, w0_ref, gt_ref, u0s_ref, rs_ref,
     # dims stay tiled), then the gauss-group reduction as one MXU matmul
     zw = zw_ref[...][:, :, None]  # (nzen, 1, 1)
     wred = wred_ref[...]
+    # full-f32 MXU passes: the default single bf16 pass quantizes the
+    # weighted FLUXES to ~0.4% (see ops.interp.pdot)
+    hi = jax.lax.Precision.HIGHEST
     am_ref[...] = jnp.dot(wred, jnp.sum(amean * zw, axis=0),
-                          preferred_element_type=am_ref.dtype)
+                          preferred_element_type=am_ref.dtype, precision=hi)
     fup_ref[...] = jnp.dot(wred, jnp.sum(fup * zw, axis=0),
-                           preferred_element_type=fup_ref.dtype)
+                           preferred_element_type=fup_ref.dtype, precision=hi)
     fdn_ref[...] = jnp.dot(wred, jnp.sum(fdn * zw, axis=0),
-                           preferred_element_type=fdn_ref.dtype)
+                           preferred_element_type=fdn_ref.dtype, precision=hi)
 
 
 def two_stream_solar_multi_weighted_pallas(tau, w0, gt, u0s, Rsfc, zw, wbin,
@@ -245,8 +248,11 @@ def _ir_weighted_kernel(tau_ref, w0_ref, gt_ref, emis_ref, bpl_ref, wred_ref,
         has_hard_surface, tau_min, bpl_ref[...],
     )
     wred = wred_ref[...]
-    fup_ref[...] = jnp.dot(wred, fup, preferred_element_type=fup_ref.dtype)
-    fdn_ref[...] = jnp.dot(wred, fdn, preferred_element_type=fdn_ref.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    fup_ref[...] = jnp.dot(wred, fup, preferred_element_type=fup_ref.dtype,
+                           precision=hi)
+    fdn_ref[...] = jnp.dot(wred, fdn, preferred_element_type=fdn_ref.dtype,
+                           precision=hi)
 
 
 def two_stream_ir_weighted_pallas(tau, w0, gt, emissivity, has_hard_surface,

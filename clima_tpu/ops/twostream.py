@@ -13,6 +13,7 @@ All outputs are edge quantities of shape (..., nz+1) with index 0 = TOA.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .tridiag import (
@@ -109,7 +110,8 @@ def two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin):
     nw = B // nG
     amean, _, fup, fdn = two_stream_solar_multi(tau, w0, gt, u0s, Rsfc)
     unflat = lambda x: x.reshape(u0s.shape[0], nw, nG, -1)
-    red = lambda x: jnp.einsum("zwgk,g,z->wk", unflat(x), wbin, zw)
+    red = lambda x: jnp.einsum("zwgk,g,z->wk", unflat(x), wbin, zw,
+                               precision=jax.lax.Precision.HIGHEST)
     return red(amean), red(fup), red(fdn)
 
 
@@ -139,7 +141,8 @@ def two_stream_ir_weighted(tau, w0, gt, emissivity, has_hard_surface,
     fup, fdn = two_stream_ir(
         tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck
     )
-    red = lambda x: jnp.einsum("wgk,g->wk", x.reshape(nw, nG, -1), wbin)
+    red = lambda x: jnp.einsum("wgk,g->wk", x.reshape(nw, nG, -1), wbin,
+                               precision=jax.lax.Precision.HIGHEST)
     return red(fup), red(fdn)
 
 

@@ -283,6 +283,11 @@ def two_stream_ir_df(tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck
     lam = df_sqrt(gam1 * gam1 - gam2 * gam2)
     cap_gam = gam2 / (gam1 + lam)
     e1, e2, e3, e4 = _es_df(lam, cap_gam, tau)
+    # barrier between the coefficient and row/RHS stages: without it
+    # XLA:CPU's recompute-in-consumer fusion re-expands the deep
+    # sqrt/div/exp chains of e1..e4 into each of the ~20 row products
+    # (measured: >2 min compile and ~100x runtime for the IR kernel)
+    e1, e2, e3, e4, gam1, gam2 = _barrier(e1, e2, e3, e4, gam1, gam2)
 
     b_top = bplanck[..., :-1]
     b_bot = bplanck[..., 1:]
@@ -296,6 +301,7 @@ def two_stream_ir_df(tau, w0, gt, emissivity, has_hard_surface, tau_min, bplanck
     cpb = (b0n + b1n * (tau + inv_g)) * norm
     cm0 = (b0n - b1n * inv_g) * norm
     cmb = (b0n + b1n * (tau - inv_g)) * norm
+    cp0, cpb, cm0, cmb = _barrier(cp0, cpb, cm0, cmb)
 
     if has_hard_surface:
         Ssfc = df_map(lambda a: a[..., None], emis) * const.pi * bplanck[..., -1:]
@@ -356,6 +362,11 @@ def two_stream_solar_multi_df(tau_in, w0_in, gt_in, u0s, Rsfc):
     tauc = df_concatenate(
         [df_zeros_like(tau[..., :1]), df_cumsum(tau, axis=-1)], axis=-1
     )
+    # stage barrier (see two_stream_ir_df): stops XLA:CPU re-expanding the
+    # deep coefficient chains into every downstream product
+    e1, e2, e3, e4, lam, tauc, tau, w0, gt = _barrier(
+        e1, e2, e3, e4, lam, tauc, tau, w0, gt
+    )
 
     expand = lambda x: DF(x.hi[None], x.lo[None])
     inv_u0 = one / u0
@@ -380,6 +391,7 @@ def two_stream_solar_multi_df(tau_in, w0_in, gt_in, u0s, Rsfc):
     cpb = etb * facp / denom
     cm0 = et0 * facm / denom
     cmb = etb * facm / denom
+    cp0, cpb, cm0, cmb, direct = _barrier(cp0, cpb, cm0, cmb, direct)
 
     Rs = df_map(lambda a: a[..., None], to_df(Rsfc))
     Ssfc = expand(Rs) * direct[..., -1:]

@@ -94,8 +94,8 @@ def make_column_fns(c):
         P_c = prof["P_e"][1::2]
         T_c = prof["T_e"][1::2]
         f_c = prof["f_i_e"][1::2]
-        mubar = f_c @ gas_masses
-        mubar_surf = prof["f_i_e"][0] @ gas_masses
+        mubar = pdot(f_c, gas_masses)
+        mubar_surf = pdot(prof["f_i_e"][0], gas_masses)
         alt = compute_altitude_core(
             P_c, T_c, mubar, prof["P_surf"], T_surf, mubar_surf, par.P_top,
             par.planet_mass, par.planet_radius, -1.0,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..ops.rorr import k_rorr_mix, k_aee_mix
-from ..ops.interp import hat_weights
+from ..ops.interp import hat_weights, pdot
 from .data import OpticalData
 
 __all__ = ["compute_opacity", "set_rorr_pallas_mode"]
@@ -64,7 +64,7 @@ def _interp_table_T_log10(temp_grid, table, T):
     products ~ 1e38, both outside float32 range individually.
     """
     W = hat_weights(jnp.asarray(temp_grid), T)  # (nz, ntemp)
-    return W @ jnp.asarray(table)  # (nz, nw)
+    return pdot(W, jnp.asarray(table))  # (nz, nw); full-f32 matmul (pdot)
 
 
 def _safe_log10(x):
@@ -90,7 +90,7 @@ def _interp_ktable(kt, log10P, T):
     tab = jnp.asarray(kt.log10k)  # (G, P, T, W)
     G, P, Tn, Wn = tab.shape
     tab2d = jnp.transpose(tab, (1, 2, 0, 3)).reshape(P * Tn, G * Wn)
-    logk = (Wpt @ tab2d).reshape(nz, G, Wn)
+    logk = pdot(Wpt, tab2d).reshape(nz, G, Wn)
     return 10.0**logk  # (nz, G, W)
 
 
@@ -101,7 +101,7 @@ def _interp_particle(part, radii_z):
     reference flags an error; we clamp, and the facade validates on request).
     """
     W = hat_weights(jnp.asarray(part.radii), radii_z)  # (nz, nrad)
-    gi = lambda tab: W @ jnp.asarray(tab)
+    gi = lambda tab: pdot(W, jnp.asarray(tab))
     return gi(part.w0), gi(part.qext), gi(part.gt)
 
 
@@ -204,7 +204,7 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
     if custom is not None:
         log10P_cgs = jnp.log10(P * 1.0e6)
         W = hat_weights(jnp.asarray(custom["log10P"]), log10P_cgs)
-        gi = lambda tab: W @ jnp.asarray(tab)
+        gi = lambda tab: pdot(W, jnp.asarray(tab))
         tauc = gi(custom["dtau_dz"]) * dz[:, None]
         w0c = gi(custom["w0"])
         g0c = gi(custom["g0"])

@@ -27,6 +27,7 @@ standard path in tests/test_radiate_df.py.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.df64 import DF, to_df, df_map, df_sum, df_diff, df_concatenate
@@ -45,6 +46,22 @@ def from_f64(x):
     hi = x.astype(np.float32)
     lo = (x - hi.astype(np.float64)).astype(np.float32)
     return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def _pow2_scale(m):
+    """(s, inv_s): exact powers of two with s*m ~ 1, built from exponent
+    bits (exp2 is 1-2 ulp off even at integers — see ops.df64.df_exp).
+
+    Scaling a DF pair by an exact power of two multiplies hi and lo exactly,
+    so it neither adds arithmetic error nor perturbs the pair structure.
+    """
+    ki = jnp.clip(
+        jnp.round(jnp.log2(jnp.maximum(m, 1e-37))), -126.0, 126.0
+    ).astype(jnp.int32)
+    as_f32 = lambda k: jax.lax.bitcast_convert_type(
+        (k + 127) << 23, jnp.float32
+    )
+    return as_f32(-ki), as_f32(ki)
 
 
 def _edge_parts(net_td, dfreq, n_phys):
@@ -92,6 +109,18 @@ def build_ir_parts_df(channel_slice, freq_np, wbin_np, emis_np,
         )
         bplanck = df_concatenate([bplanck_atm, bplanck_surf], axis=1)
 
+        # Per-bin power-of-two source normalization. Real IR Planck
+        # radiances span ~1e-9 down to ~1e-22 mW/m^2/Hz across bins; the IR
+        # solve is LINEAR in its source, but carrying ~1e-22 magnitudes
+        # through the DF two-stream makes the Dekker split products inside
+        # two_prod subnormal (x86: ~100-cycle microcode per op — measured
+        # ~100x wall-clock blowup of the full objective on XLA:CPU).
+        # Scaling by an exact power of two is error-free, keeps internals
+        # O(1), and is inverted on the net fluxes below.
+        m = jnp.max(jnp.abs(bplanck.hi), axis=1)  # (nw,)
+        s, inv_s = _pow2_scale(m)
+        bplanck = df_map(lambda a: a * s[:, None], bplanck)
+
         flat = lambda x: jnp.broadcast_to(
             x, (nw, nG) + x.shape[2:]
         ).reshape(nw * nG, -1)
@@ -109,8 +138,10 @@ def build_ir_parts_df(channel_slice, freq_np, wbin_np, emis_np,
             flat(tau), flat(w0), flat(g[:, None, :]), emis_f,
             has_hard_surface, ir_tau_min, bplanck_f,
         )
-        net = fdn - fup  # DF (nw*G, nzr+1) TOA-down
-        net = df_map(lambda a: a.reshape(nw, nG, nzr + 1), net)
+        net = fdn - fup  # DF (nw*G, nzr+1) TOA-down, in scaled source units
+        net = df_map(
+            lambda a: a.reshape(nw, nG, nzr + 1) * inv_s[:, None, None], net
+        )
         net_w = df_sum(net * df_map(lambda a: a[None, :, None], wbin), axis=1)
         return _edge_parts(net_w, dfreq, n_phys)
 
