@@ -160,6 +160,58 @@ def main():
              limiter="HBM")
     )
 
+    # --- weight-fused production kernels (VERDICT r4: the solar kernel
+    # wrote (nzen, B, nz+1) x3 arrays the driver immediately contracted;
+    # the fused kernels reduce in VMEM, cutting write traffic nzen*nG-fold)
+    nG = 8
+    wbin_w = jnp.asarray(np.full(nG, 1.0 / nG), jnp.float32)
+    zw4 = jnp.asarray(rng.uniform(0.1, 0.5, 4), jnp.float32)
+    from clima_tpu.ops.twostream import (
+        two_stream_ir_weighted_auto,
+        two_stream_solar_multi_weighted_auto,
+    )
+
+    def make_irw(K):
+        def f(t, w, g, e, b):
+            acc = 0.0
+            for i in range(K):
+                fup, fdn = two_stream_ir_weighted_auto(
+                    t * (1.0 + 1e-6 * i), w, g, e, True, 1e-6, b, wbin_w
+                )
+                acc = acc + fup.sum() + fdn.sum()
+            return acc
+
+        return jax.jit(f)
+
+    dt, _ = _slope(make_irw, (tau, w0, gt, emis, bpl), args.iters)
+    bytes_irw = (3 * B * nz + B * (nz + 1) + B
+                 + 2 * (B // nG) * (nz + 1)) * itemsize
+    results.append(
+        dict(kernel="two_stream_ir_weighted", time_ms=dt * 1e3,
+             solves_per_s=B / dt, achieved_GBs=bytes_irw / dt / 1e9,
+             limiter="HBM")
+    )
+
+    def make_solw(K):
+        def f(t, w, g, r):
+            acc = 0.0
+            for i in range(K):
+                am, fup, fdn = two_stream_solar_multi_weighted_auto(
+                    t * (1.0 + 1e-6 * i), w, g, u0s, r, zw4, wbin_w
+                )
+                acc = acc + am.sum() + fup.sum() + fdn.sum()
+            return acc
+
+        return jax.jit(f)
+
+    dt, _ = _slope(make_solw, (tau, w0, gt, rs), args.iters)
+    bytes_solw = (3 * B * nz + B + 3 * (B // nG) * (nz + 1)) * itemsize
+    results.append(
+        dict(kernel="two_stream_solar_multi4_weighted", time_ms=dt * 1e3,
+             solves_per_s=nzen * B / dt, achieved_GBs=bytes_solw / dt / 1e9,
+             limiter="HBM")
+    )
+
     # --- rank-RORR mixing chain (3 species) ---
     nk, nbin = 3, 8
     R = args.columns * 60 * nz  # columns x bins x layers rows
@@ -184,6 +236,85 @@ def main():
         dict(kernel="rorr_rank_mix_3sp", time_ms=dt * 1e3,
              mixes_per_s=R / dt, achieved_GBs=bytes_mix / dt / 1e9,
              limiter="VPU (nbin^2 compares/pair)")
+    )
+
+    # --- opacity stage (VERDICT r4 item 4: 92% of pipeline time had no
+    # roofline entry). Measures the k-table hat-basis interpolation matmul
+    # (BASELINE names it a speed-of-light kernel) and the full
+    # compute_opacity at bench shapes, vmapped over columns.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _template
+    from clima_tpu.config import load_settings, load_species
+    from clima_tpu.radtran import data as data_mod
+    from clima_tpu.radtran.opacity import compute_opacity, _interp_ktable
+
+    t = _template(nz=100, n_zenith=4, tag="bench")
+    s = load_settings(t["settings"])
+    sp = load_species(t["species"])
+    op = data_mod.load_optical_data(t["datadir"], sp.gas_names, [], s.op)
+    Bc = args.columns
+    nzc = 2 * 100 + 2
+    zc = np.linspace(0.0, 7.0e6, nzc)
+    T1 = np.maximum(288.0 - 6.5e-5 * zc, 200.0)
+    P1 = 1.013 * np.exp(-zc / 8.0e5)
+    den = P1 * 1.0e6 / (1.380649e-16 * T1)
+    mix = np.full((nzc, sp.ng), 1e-6)
+    mix[:, sp.gas_names.index("N2")] = 0.78
+    dens1 = mix * den[:, None]
+    jitter = rng.uniform(0.95, 1.05, (Bc, 1))
+    T_b = jnp.asarray(T1[None, :] * jitter, jnp.float32)
+    P_b = jnp.asarray(np.repeat(P1[None, :], Bc, 0), jnp.float32)
+    dens_b = jnp.asarray(dens1[None] * jitter[:, :, None], jnp.float32)
+    dz_b = jnp.asarray(np.full((Bc, nzc), 7.0e6 / nzc), jnp.float32)
+
+    kt = op.k[0]
+    G, Pn, Tn, Wn = np.asarray(kt.log10k).shape
+
+    def make_kinterp(K):
+        def f(P, T):
+            acc = 0.0
+            for i in range(K):
+                k = jax.vmap(
+                    lambda p, t: _interp_ktable(kt, jnp.log10(p), t)
+                )(P, T * (1.0 + 1e-6 * i))
+                acc = acc + k.sum()
+            return acc
+
+        return jax.jit(f)
+
+    dt, _ = _slope(make_kinterp, (P_b, T_b), args.iters)
+    # boundary traffic: write (B, nz, G, W) + read P/T; the (P*T, G*W) table
+    # is VMEM-resident across the batch
+    bytes_ki = (Bc * nzc * G * Wn + 2 * Bc * nzc) * itemsize
+    results.append(
+        dict(kernel="kinterp_hat_matmul_f32full", time_ms=dt * 1e3,
+             interps_per_s=Bc * nzc / dt, achieved_GBs=bytes_ki / dt / 1e9,
+             limiter="HBM",
+             note="Precision.HIGHEST (6-pass MXU; bf16 single-pass "
+                  "quantizes opacities ~0.4% — a correctness bug)")
+    )
+
+    def make_opac(K):
+        def f(P, T, dens, dz):
+            acc = 0.0
+            for i in range(K):
+                o = jax.vmap(
+                    lambda p, t, d, z: compute_opacity(op, p, t * (1.0 + 1e-6 * i), d, z)
+                )(P, T, dens, dz)
+                acc = acc + o["tau"].sum() + o["w0"].sum() + o["g"].sum()
+            return acc
+
+        return jax.jit(f)
+
+    dt, _ = _slope(make_opac, (P_b, T_b, dens_b, dz_b), args.iters)
+    nw_tot = op.nw
+    nbin_o = op.kset.nbin
+    bytes_op = (Bc * (2 * nw_tot * nbin_o * nzc + 2 * nw_tot * nzc)
+                + Bc * nzc * (sp.ng + 3)) * itemsize
+    results.append(
+        dict(kernel="compute_opacity_full", time_ms=dt * 1e3,
+             columns_per_s=Bc / dt, achieved_GBs=bytes_op / dt / 1e9,
+             limiter="HBM (outputs) + VPU (RORR)")
     )
 
     for r in results:

@@ -262,6 +262,11 @@ def main():
             T_surf=[float(v) for v in T_surf_dev],
             wall_s_total=wall,
             columns=B,
+            mask=[[int(b) for b in row]
+                  for row in np.asarray(out["convecting_with_below"])],
+            mask_ref=[int(b) for b in np.asarray(ref["mask"])],
+            T=[[float(v) for v in row] for row in np.asarray(out["T"])],
+            T_ref=[float(v) for v in ref["T"]],
             vs_cpu_f64=dict(
                 dT_surf_K=float(T_surf_dev[0] - ref["T_surf"]),
                 dT_max_K=float(
