@@ -219,10 +219,15 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         # edge->layer mapping of the intended adiabat (rce.py make_profile_rc)
         lr_intended = jnp.concatenate([lr_e[:1], lr_e[1:-1:2][: nz - 1]])
         x_model = jnp.concatenate([x[:1], T_c])
-        # actual lapse rate dlnT/dlnP (adiabat.py _set_lapse_rates)
-        logT = jnp.log(x_model)
-        logP = jnp.log(jnp.concatenate([out["P_surf"][None], P_c]))
-        lr_actual = jnp.diff(logT) / jnp.diff(logP)
+        # actual lapse rate dlnT/dlnP (adiabat.py _set_lapse_rates),
+        # cancellation-safe: diff-of-logs of nearly-equal f32 temps (the
+        # isothermal radiative top) is ~100% absolute noise (~1.2e-7);
+        # log1p(Sterbenz-exact diff / x) keeps the error RELATIVE to the
+        # difference, so near-zero lapse rates stay near zero
+        P_full = jnp.concatenate([out["P_surf"][None], P_c])
+        dlnT = jnp.log1p(jnp.diff(x_model) / x_model[:-1])
+        dlnP = jnp.log1p(jnp.diff(P_full) / P_full[:-1])
+        lr_actual = dlnT / dlnP
         prof = dict(
             P_surf=out["P_surf"], P_c=P_c, T_c=T_c, f_c=f_c, dz=alt["dz"],
             dens=dens, x_model=x_model, lr_intended=lr_intended,
@@ -721,9 +726,14 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
     def mode1_update(x_model, save, lock, P_i_surf):
         """Trial-Newton-step classification on the all-radiative system."""
         zeros = jnp.zeros(nz, bool)
-        # f32 flux path suffices here: this classifies convective instability
-        # from a trial step, not the convergence residual
-        xm, dFdt, dTdt, aux = objective(x_model, zeros, P_i_surf, precise=False)
+        # The trial step must use the PRECISE flux path: the Jacobian runs
+        # df64 in df64 mode (see jacobian), and deltaT = J^-1 (-dTdt) with
+        # an f32 dTdt injects the f32 arithmetic error (~850 mW/m^2 on TPU)
+        # as ~0.6 K trial-profile errors — measured on TPU v5e to flip the
+        # marginal topmost layer's lapse-rate classification (the converged
+        # mask gained a spurious top convective layer, T aloft -50 K vs the
+        # f64 host, while the CPU-f32 control matched the host exactly).
+        xm, dFdt, dTdt, aux = objective(x_model, zeros, P_i_surf)
         J = jacobian(xm, zeros, aux, dTdt)
         with jax.default_matmul_precision("highest"):
             deltaT = jnp.linalg.solve(J, -dTdt)
