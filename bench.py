@@ -71,6 +71,7 @@ def main():
         r_sol = radiate_solar(
             sol_slice, freq_master, wavl_master, wbin, opr, alb, 0.5,
             jnp.asarray(photons), jnp.asarray(zen_u), jnp.asarray(zw),
+            compute_amean=False,
         )
         fup_sol, fdn_sol = integrate_fluxes(
             r_sol["fup_a"], r_sol["fdn_a"], freq_master[sol_slice[0] : sol_slice[1] + 2]

@@ -304,7 +304,7 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             return _sol_parts_df(opr)
         sol = radiate_solar(
             sol_slice, freq_master, wavl_master, wbin, opr, albedo, diurnal,
-            photons, zenith_u, zenith_w,
+            photons, zenith_u, zenith_w, compute_amean=False,
         )
         return _net_edge_parts(sol["fup_a"], sol["fdn_a"], freq_sol)
 

@@ -256,7 +256,7 @@ class Climate:
                 freq_master[ir_slice[0] : ir_slice[1] + 2])
             r_sol = radiate_solar(sol_slice, freq_master, wavl_master, wbin,
                                   opr, alb, diurnal, photons_scaled, zen_u,
-                                  zen_w)
+                                  zen_w, compute_amean=False)
             fup_sol, fdn_sol = integrate_fluxes(
                 r_sol["fup_a"], r_sol["fdn_a"],
                 freq_master[sol_slice[0] : sol_slice[1] + 2])

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["k_rorr_mix_pallas", "rorr_mix_pair_pallas", "mix_pair_rank_ref"]
+__all__ = ["k_rorr_mix_pallas", "k_rorr_mix_pallas_t",
+           "rorr_mix_pair_pallas", "mix_pair_rank_ref"]
 
 
 def _mix_one_rank(a, b, wxy_col, wbin_e_c, nbin):
@@ -127,6 +128,36 @@ def _pair_weights(wbin):
     return np.outer(wbin, wbin).reshape(-1)  # symmetric: order-free
 
 
+def k_rorr_mix_pallas_t(tau_ks_t, wbin, wbin_e, block_l=1024,
+                        interpret=False):
+    """RORR mix on the kernel's NATIVE layout: ``tau_ks_t`` (nk, nbin, R)
+    with the flattened batch R on lanes. Returns (nbin, R).
+
+    Callers that assemble opacities with the gauss axis already on sublanes
+    (radtran.opacity emits k-coefficients as (G, W, nz) straight from the
+    interpolation matmul) avoid the two whole-tensor minor-axis relayouts
+    ``k_rorr_mix_pallas`` pays to transpose (..., nbin) in and out.
+    """
+    nk, nbin, R = tau_ks_t.shape
+    dt = tau_ks_t.dtype
+    wbin_e_c = tuple(float(x) for x in np.asarray(wbin_e))
+    wxy_col = jnp.asarray(_pair_weights(wbin), dtype=dt)[:, None]
+    npair = nbin * nbin
+    lb = min(block_l, R)
+
+    spec = pl.BlockSpec((nbin, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((npair, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kwargs = {"interpret": True} if interpret else {}
+    return pl.pallas_call(
+        _kernel_factory(nbin, wbin_e_c, nk - 1),
+        grid=(pl.cdiv(R, lb),),
+        in_specs=[spec] * nk + [wspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((nbin, R), dt),
+        **kwargs,
+    )(*[tau_ks_t[i] for i in range(nk)], wxy_col)
+
+
 def k_rorr_mix_pallas(tau_ks, wbin, wbin_e, block_l=1024, interpret=False):
     """RORR-mix per-species k-term optical depths in one fused kernel.
 
@@ -137,27 +168,11 @@ def k_rorr_mix_pallas(tau_ks, wbin, wbin_e, block_l=1024, interpret=False):
     nk = tau_ks.shape[0]
     nbin = tau_ks.shape[-1]
     out_shape = tau_ks.shape[1:]
-    dt = tau_ks.dtype
-    wbin_e_c = tuple(float(x) for x in np.asarray(wbin_e))
-    wxy_col = jnp.asarray(_pair_weights(wbin), dtype=dt)[:, None]
-    npair = nbin * nbin
 
     tau_T = tau_ks.reshape(nk, -1, nbin)
     tau_T = jnp.swapaxes(tau_T, 1, 2)  # (nk, nbin, R)
-    R = tau_T.shape[-1]
-    lb = min(block_l, R)
-
-    spec = pl.BlockSpec((nbin, lb), lambda i: (0, i), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((npair, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    kwargs = {"interpret": True} if interpret else {}
-    out_T = pl.pallas_call(
-        _kernel_factory(nbin, wbin_e_c, nk - 1),
-        grid=(pl.cdiv(R, lb),),
-        in_specs=[spec] * nk + [wspec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((nbin, R), dt),
-        **kwargs,
-    )(*[tau_T[i] for i in range(nk)], wxy_col)
+    out_T = k_rorr_mix_pallas_t(tau_T, wbin, wbin_e, block_l=block_l,
+                                interpret=interpret)
     return jnp.swapaxes(out_T, 0, 1).reshape(out_shape)
 
 

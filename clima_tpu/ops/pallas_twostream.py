@@ -143,19 +143,6 @@ def two_stream_solar_multi_pallas(tau, w0, gt, u0s, Rsfc, block_b=64):
     return amean, srad[..., 0], fup, fdn
 
 
-def _reduction_matrix(k, nG, wbin, dtype):
-    """(k, k*nG) block-diagonal gauss-weight matrix: W[j, j*nG+g] = wbin[g].
-
-    The same matrix serves every grid block (the wbin pattern repeats every
-    nG rows), so it is passed once with a constant index_map. Contracting
-    with it on the MXU performs the per-bin gauss reduction in-kernel.
-    """
-    W = np.zeros((k, k * nG), dtype)
-    for j in range(k):
-        W[j, j * nG : (j + 1) * nG] = np.asarray(wbin, dtype)
-    return jnp.asarray(W)
-
-
 def _pad_rows(arrs, B, bb, pad_vals):
     """Zero-risk row padding to a bb multiple (pad rows form their own
     gauss groups, so they only ever contribute to discarded output rows)."""
@@ -170,28 +157,42 @@ def _pad_rows(arrs, B, bb, pad_vals):
 
 
 def _solar_multi_weighted_kernel(tau_ref, w0_ref, gt_ref, u0s_ref, rs_ref,
-                                 zw_ref, wred_ref, am_ref, fup_ref, fdn_ref):
+                                 zw_ref, wb_ref, *out_refs, nG):
+    """3 outputs (am, fup, fdn) or 2 (fup, fdn): without the amean refs the
+    amean assembly below is dead code that Mosaic eliminates (~15% of the
+    kernel's VPU ops — the solar kernel is compute-bound, not HBM-bound)."""
+    if len(out_refs) == 3:
+        am_ref, fup_ref, fdn_ref = out_refs
+    else:
+        am_ref = None
+        fup_ref, fdn_ref = out_refs
     amean, _, fup, fdn = ts.two_stream_solar_multi(
         tau_ref[...], w0_ref[...], gt_ref[...],
         jnp.squeeze(u0s_ref[...], -1), jnp.squeeze(rs_ref[...], -1),
     )
-    # zenith-weight contraction over the leading axis (cheap: the minor two
-    # dims stay tiled), then the gauss-group reduction as one MXU matmul
+    # zenith-weight contraction over the leading axis, then the gauss-group
+    # reduction as a leading-dim reshape + weighted VPU sum. NOT a matmul:
+    # an in-kernel MXU dot at Precision.HIGHEST (needed for exact-f32
+    # fluxes) measured 6x slower than the whole unfused kernel; the
+    # reshape splits only the sublane axis and the multiply-add is exact
+    # f32 on the VPU.
     zw = zw_ref[...][:, :, None]  # (nzen, 1, 1)
-    wred = wred_ref[...]
-    # full-f32 MXU passes: the default single bf16 pass quantizes the
-    # weighted FLUXES to ~0.4% (see ops.interp.pdot)
-    hi = jax.lax.Precision.HIGHEST
-    am_ref[...] = jnp.dot(wred, jnp.sum(amean * zw, axis=0),
-                          preferred_element_type=am_ref.dtype, precision=hi)
-    fup_ref[...] = jnp.dot(wred, jnp.sum(fup * zw, axis=0),
-                           preferred_element_type=fup_ref.dtype, precision=hi)
-    fdn_ref[...] = jnp.dot(wred, jnp.sum(fdn * zw, axis=0),
-                           preferred_element_type=fdn_ref.dtype, precision=hi)
+    wb = wb_ref[...][None, :, :]  # (1, nG, 1)
+    ne = amean.shape[-1]
+    k = amean.shape[-2] // nG
+
+    def red(x):
+        xz = jnp.sum(x * zw, axis=0)  # (bb, nz+1)
+        return jnp.sum(xz.reshape(k, nG, ne) * wb, axis=1)
+
+    if am_ref is not None:
+        am_ref[...] = red(amean)
+    fup_ref[...] = red(fup)
+    fdn_ref[...] = red(fdn)
 
 
 def two_stream_solar_multi_weighted_pallas(tau, w0, gt, u0s, Rsfc, zw, wbin,
-                                           block_b=64):
+                                           block_b=64, with_amean=True):
     """Weight-fused multi-zenith solar kernel: tau/w0/gt (nw*nG, nz)
     bin-major; u0s/zw (nzen,); wbin (nG,). Returns (am_w, fup_w, fdn_w) of
     shape (nw, nz+1) — the zenith- and gauss-weighted sums.
@@ -220,39 +221,41 @@ def two_stream_solar_multi_weighted_pallas(tau, w0, gt, u0s, Rsfc, zw, wbin,
     grid = (Bp // bb,)
     spec2, spec1, _ = _block(bb, nz)
     uspec = pl.BlockSpec((nzen, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((k, bb), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((nG, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((k, nz + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    wred = _reduction_matrix(k, nG, np.asarray(wbin), dt)
 
-    am_w, fup_w, fdn_w = pl.pallas_call(
-        _solar_multi_weighted_kernel,
+    n_out = 3 if with_amean else 2
+    outs = pl.pallas_call(
+        functools.partial(_solar_multi_weighted_kernel, nG=nG),
         grid=grid,
-        in_specs=[spec2, spec2, spec2, uspec, spec1, uspec, wspec],
-        out_specs=(ospec, ospec, ospec),
-        out_shape=(
-            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
-            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
-            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
+        in_specs=[spec2, spec2, spec2, uspec, spec1, uspec, gspec],
+        out_specs=(ospec,) * n_out,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nw_pad, nz + 1), dt) for _ in range(n_out)
         ),
     )(tau, w0, gt, jnp.asarray(u0s, dt)[:, None], Rsfc[:, None],
-      jnp.asarray(zw, dt)[:, None], wred)
-    return am_w[:nw], fup_w[:nw], fdn_w[:nw]
+      jnp.asarray(zw, dt)[:, None], jnp.asarray(wbin, dt)[:, None])
+    if with_amean:
+        return outs[0][:nw], outs[1][:nw], outs[2][:nw]
+    return None, outs[0][:nw], outs[1][:nw]
 
 
-def _ir_weighted_kernel(tau_ref, w0_ref, gt_ref, emis_ref, bpl_ref, wred_ref,
-                        fup_ref, fdn_ref, *, has_hard_surface, tau_min):
+def _ir_weighted_kernel(tau_ref, w0_ref, gt_ref, emis_ref, bpl_ref, wb_ref,
+                        fup_ref, fdn_ref, *, has_hard_surface, tau_min, nG):
     fup, fdn = ts.two_stream_ir(
         tau_ref[...], w0_ref[...], gt_ref[...],
         jnp.squeeze(emis_ref[...], -1),
         has_hard_surface, tau_min, bpl_ref[...],
     )
-    wred = wred_ref[...]
-    hi = jax.lax.Precision.HIGHEST
-    fup_ref[...] = jnp.dot(wred, fup, preferred_element_type=fup_ref.dtype,
-                           precision=hi)
-    fdn_ref[...] = jnp.dot(wred, fdn, preferred_element_type=fdn_ref.dtype,
-                           precision=hi)
+    # gauss reduction via reshape + weighted VPU sum (see the solar kernel:
+    # an in-kernel HIGHEST-precision MXU dot was 6x slower than unfused)
+    wb = wb_ref[...][None, :, :]  # (1, nG, 1)
+    ne = fup.shape[-1]
+    k = fup.shape[-2] // nG
+    red = lambda x: jnp.sum(x.reshape(k, nG, ne) * wb, axis=1)
+    fup_ref[...] = red(fup)
+    fdn_ref[...] = red(fdn)
 
 
 def two_stream_ir_weighted_pallas(tau, w0, gt, emissivity, has_hard_surface,
@@ -276,25 +279,24 @@ def two_stream_ir_weighted_pallas(tau, w0, gt, emissivity, has_hard_surface,
     nw = B // nG
     grid = (Bp // bb,)
     spec2, spec1, spec_e = _block(bb, nz)
-    wspec = pl.BlockSpec((k, bb), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((nG, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((k, nz + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    wred = _reduction_matrix(k, nG, np.asarray(wbin), dt)
 
     kernel = functools.partial(
         _ir_weighted_kernel, has_hard_surface=has_hard_surface,
-        tau_min=tau_min,
+        tau_min=tau_min, nG=nG,
     )
     fup_w, fdn_w = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec2, spec2, spec2, spec1, spec_e, wspec],
+        in_specs=[spec2, spec2, spec2, spec1, spec_e, gspec],
         out_specs=(ospec, ospec),
         out_shape=(
             jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
             jax.ShapeDtypeStruct((nw_pad, nz + 1), dt),
         ),
-    )(tau, w0, gt, emissivity[:, None], bplanck, wred)
+    )(tau, w0, gt, emissivity[:, None], bplanck, jnp.asarray(wbin, dt)[:, None])
     return fup_w[:nw], fdn_w[:nw]
 
 

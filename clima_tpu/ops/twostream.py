@@ -93,7 +93,8 @@ def two_stream_solar_multi_auto(tau, w0, gt, u0s, Rsfc):
     return two_stream_solar_multi(tau, w0, gt, u0s, Rsfc)
 
 
-def two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin):
+def two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin,
+                                    with_amean=True):
     """Multi-zenith solar solve with the zenith- and gauss-weight reductions
     applied: tau/w0/gt (nw*nG, nz) flattened bin-major; u0s/zw (nzen,)
     zenith cosines and weights; wbin (nG,) gauss weights.
@@ -112,18 +113,25 @@ def two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin):
     unflat = lambda x: x.reshape(u0s.shape[0], nw, nG, -1)
     red = lambda x: jnp.einsum("zwgk,g,z->wk", unflat(x), wbin, zw,
                                precision=jax.lax.Precision.HIGHEST)
-    return red(amean), red(fup), red(fdn)
+    return (red(amean) if with_amean else None), red(fup), red(fdn)
 
 
-def two_stream_solar_multi_weighted_auto(tau, w0, gt, u0s, Rsfc, zw, wbin):
-    """Dispatch the weight-fused multi-zenith solar solve to Pallas on TPU."""
+def two_stream_solar_multi_weighted_auto(tau, w0, gt, u0s, Rsfc, zw, wbin,
+                                         with_amean=True):
+    """Dispatch the weight-fused multi-zenith solar solve to Pallas on TPU.
+
+    ``with_amean=False`` skips the mean-intensity assembly and reduction
+    entirely (dead-code-eliminated in the kernel) — the energy-balance
+    paths never read amean, and the solar kernel is VPU-compute-bound.
+    """
     if _use_pallas() and tau.ndim == 2:
         from .pallas_twostream import two_stream_solar_multi_weighted_pallas
 
         return two_stream_solar_multi_weighted_pallas(
-            tau, w0, gt, u0s, Rsfc, zw, wbin
+            tau, w0, gt, u0s, Rsfc, zw, wbin, with_amean=with_amean
         )
-    return two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin)
+    return two_stream_solar_multi_weighted(tau, w0, gt, u0s, Rsfc, zw, wbin,
+                                           with_amean=with_amean)
 
 
 def two_stream_ir_weighted(tau, w0, gt, emissivity, has_hard_surface,

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import constants as const
 from ..adiabat.profile import AdiabatParams, make_profile_core
 from ..adiabat.altitude import compute_altitude_core
+from ..ops.interp import pdot
 from ..radtran.opacity import compute_opacity
 from ..radtran.radiate import radiate_ir, radiate_solar, integrate_fluxes
 
@@ -138,7 +139,7 @@ def make_column_fns(c):
         )
         sol = radiate_solar(
             sol_slice, freq_master, wavl_master, wbin, opr, albedo, diurnal,
-            photons, zenith_u, zenith_w,
+            photons, zenith_u, zenith_w, compute_amean=False,
         )
         fup_sol, fdn_sol = integrate_fluxes(
             sol["fup_a"], sol["fdn_a"], freq_master[sol_slice[0] : sol_slice[1] + 2]

@@ -94,6 +94,27 @@ def _interp_ktable(kt, log10P, T):
     return 10.0**logk  # (nz, G, W)
 
 
+def _interp_ktable_t(kt, log10P, T):
+    """As :func:`_interp_ktable` but with the contraction FLIPPED so the
+    output is (G, W, nz) with nz on lanes — the layout the downstream RORR
+    kernel and the (W, G, nz) opacity tensors want.
+
+    Emitting (nz, G, W) and transposing costs a whole-tensor minor-axis
+    relayout per species (~12 ms of the 37 ms opacity stage at the flagship
+    batch — the dominant hidden cost found by the r4 roofline); here the
+    matmul itself produces nz-minor: (G*W, PT) @ (PT, nz).
+    """
+    Wp = hat_weights(jnp.asarray(kt.log10P), log10P)  # (nz, P)
+    Wt = hat_weights(jnp.asarray(kt.temp), T)  # (nz, T)
+    nz = Wp.shape[0]
+    WptT = (Wp.T[:, None, :] * Wt.T[None, :, :]).reshape(-1, nz)  # (P*T, nz)
+    tab = jnp.asarray(kt.log10k)  # (G, P, T, W)
+    G, P, Tn, Wn = tab.shape
+    tabT = jnp.transpose(tab, (0, 3, 1, 2)).reshape(G * Wn, P * Tn)  # static
+    logk = pdot(tabT, WptT).reshape(G, Wn, nz)
+    return 10.0**logk  # (G, W, nz)
+
+
 def _interp_particle(part, radii_z):
     """Interpolate particle optical data at radii (nz,) -> (w0, qext, gt) (nz, nw).
 
@@ -120,30 +141,54 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
     nz = T.shape[0]
     nw = op.nw
     nbin = op.kset.nbin
+    # Build TOA-down NATIVELY by flipping the small (nz,)-indexed inputs:
+    # every assembly step is per-layer elementwise, so flipping here is
+    # equivalent to flipping the outputs — but a lane-reversal relayout of
+    # the (nw, nbin, nz) output tensors costs whole-tensor shuffles, while
+    # these input flips touch nz-sized vectors.
+    P = P[::-1]
+    T = T[::-1]
+    densities = densities[::-1]
+    dz = dz[::-1]
+    if pdensities is not None:
+        pdensities = pdensities[::-1]
+    if radii is not None:
+        radii = radii[::-1]
     log10P = jnp.log10(P)
     cols = densities * dz[:, None]  # (nz, ng)
 
     # --- k-distributions: per-species tau at each gauss point ---
-    tau_ks = []
+    # Assembled nz-MINOR from the start: _interp_ktable_t emits (G, W, nz)
+    # straight from the interpolation matmul, which is exactly the RORR
+    # kernel's native (nbin, lanes) layout after one reshape — no
+    # whole-tensor minor-axis relayouts anywhere in the chain (they cost
+    # ~12 ms of the 37 ms flagship-batch opacity stage before r4).
+    nk = len(op.k)
+    tau_ks_t = []
     for kt in op.k:
-        kcoef = _interp_ktable(kt, log10P, T)  # (nz, G, W)
-        tau_sp = kcoef * cols[:, kt.sp_ind][:, None, None]
-        tau_ks.append(jnp.transpose(tau_sp, (2, 0, 1)))  # (W, nz, G)
-    tau_ks = jnp.stack(tau_ks, axis=0)  # (nk, W, nz, G)
+        kcoef = _interp_ktable_t(kt, log10P, T)  # (G, W, nz)
+        tau_ks_t.append(kcoef * cols[:, kt.sp_ind][None, None, :])
+    tau_ks_t = jnp.stack(tau_ks_t, axis=0)  # (nk, G, W, nz)
 
-    # --- k-distribution mixing ---
+    # --- k-distribution mixing -> tau_kmix (W, G, nz) ---
     if op.kset.k_method == "AdaptiveEquivalentExtinction":
         # declared-but-unimplemented in the reference (types.f90:761-763);
         # implemented here as a sort-free fast path (ops.rorr.k_aee_mix)
-        tau_kmix = k_aee_mix(tau_ks, jnp.asarray(op.kset.wbin))  # (W, nz, G)
+        mixed = k_aee_mix(
+            jnp.moveaxis(tau_ks_t, 1, -1), jnp.asarray(op.kset.wbin)
+        )  # (nk-less: W, nz, G)
+        tau_kmix = jnp.moveaxis(mixed, -1, 1)  # (W, G, nz)
     else:
         # RORR (k_rorr, types.f90:780-888). On TPU the fused sort-free rank
         # kernel keeps the whole species chain in VMEM (ops.pallas_rorr);
         # the XLA lax.sort path is the CPU default and cross-check oracle.
-        if _use_pallas_rorr() and op.kset.nbin <= 16 and tau_ks.shape[0] >= 2:
-            from ..ops.pallas_rorr import k_rorr_mix_pallas
+        if _use_pallas_rorr() and op.kset.nbin <= 16 and nk >= 2:
+            from ..ops.pallas_rorr import k_rorr_mix_pallas_t
 
-            tau_kmix = k_rorr_mix_pallas(tau_ks, op.kset.wbin, op.kset.wbin_e)
+            mixed_t = k_rorr_mix_pallas_t(
+                tau_ks_t.reshape(nk, nbin, nw * nz),
+                op.kset.wbin, op.kset.wbin_e,
+            )  # (G, W*nz)
         else:
             if _use_pallas_rorr() and op.kset.nbin > 16:
                 # the rank kernel is O(nbin^4) per species pair; past
@@ -159,7 +204,15 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
                     "past nbin=16; see PARITY.md).",
                     stacklevel=2,
                 )
-            tau_kmix = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))
+            mixed_t = jnp.moveaxis(
+                k_rorr_mix(
+                    jnp.moveaxis(tau_ks_t.reshape(nk, nbin, nw * nz), 1, -1),
+                    jnp.asarray(op.kset.wbin_e),
+                ),
+                -1, 0,
+            )  # (G, W*nz)
+        # (G, W, nz) -> (W, G, nz): leading-dims transpose, nz stays minor
+        tau_kmix = jnp.transpose(mixed_t.reshape(nbin, nw, nz), (1, 0, 2))
 
     # --- Rayleigh scattering ---
     tausg = jnp.zeros((nz, nw))
@@ -234,22 +287,20 @@ def compute_opacity(op: OpticalData, P, T, densities, dz,
     gt = jnp.minimum(gt, const.max_gt)
 
     # --- combine per gauss point ---
-    # (W, nz) continua; tau_kmix (W, nz, G)
+    # (W, nz) continua; tau_kmix (W, G, nz) — already gauss-before-z, so no
+    # minor-axis transposes remain: only the cheap TOA-down lane flips
     tau_cont = (tausg + taua + taup + tauc).T  # (W, nz)
     tausum = (tausg + tausp + tausc).T  # (W, nz) scattering part
-    tau = tau_cont[:, :, None] + tau_kmix  # (W, nz, G)
+    tau = tau_cont[:, None, :] + tau_kmix  # (W, G, nz)
     w0 = jnp.where(
         tau <= const.tau_min,
         0.0,
-        jnp.minimum(const.max_w0, tausum[:, :, None] / tau),
+        jnp.minimum(const.max_w0, tausum[:, None, :] / tau),
     )
     wbin = jnp.asarray(op.kset.wbin)
-    tau_band = jnp.sum(tau * wbin[None, None, :], axis=-1)  # (W, nz)
+    tau_band = jnp.sum(tau * wbin[None, :, None], axis=1)  # (W, nz)
 
-    # flip to TOA-down and put gauss before z: (W, G, nz)
-    tau = jnp.transpose(tau, (0, 2, 1))[:, :, ::-1]
-    w0 = jnp.transpose(w0, (0, 2, 1))[:, :, ::-1]
-    g = gt.T[:, ::-1]
-    tau_band = tau_band[:, ::-1]
+    # already TOA-down (inputs were flipped at entry)
+    g = gt.T
 
     return dict(tau=tau, w0=w0, g=g, tau_band=tau_band)

@@ -79,7 +79,8 @@ def radiate_ir(channel_slice, freq_master, wbin, opr, surface_emissivity,
 
 
 def radiate_solar(channel_slice, freq_master, wavl_master, wbin, opr,
-                  surface_albedo, diurnal_fac, photons_sol, zenith_u, zenith_weights):
+                  surface_albedo, diurnal_fac, photons_sol, zenith_u,
+                  zenith_weights, compute_amean=True):
     """Solar channel RT. Returns dict(fup_a, fdn_a, amean (nz+1, nw_sol) ground-up).
 
     ``photons_sol``: (nw_sol,) mW/m^2/Hz (already photon_scale_factor-scaled).
@@ -116,28 +117,35 @@ def radiate_solar(channel_slice, freq_master, wavl_master, wbin, opr,
         flat(alb[:, None, None])[:, 0],
         zw,
         jnp.asarray(wbin),
-    )  # each (nw, nz+1) TOA-down
+        with_amean=compute_amean,
+    )  # each (nw, nz+1) TOA-down; am_w is None when compute_amean=False
+    # (the energy-balance callers never read amean; skipping it removes
+    # ~15% of the VPU-bound solar kernel's per-element work)
 
     # scale by stellar flux (mW/m2/Hz) and diurnal factor
     scale = (photons_sol * diurnal_fac)[:, None]
     fup_w = fup_w * scale
     fdn_w = fdn_w * scale
-    am_w = am_w * scale
 
-    # amean -> photons/cm^2/s (radiate.f90:167-179)
-    freq = freq_master[i0 : i1 + 2]
-    wavl = wavl_master[i0 : i1 + 2]
-    avg_freq = 0.5 * (freq[:-1] + freq[1:])
-    avg_wavl = 1.0e9 * const.c_light / avg_freq  # nm
-    am_w = am_w * (avg_freq / avg_wavl)[:, None]
-    am_w = am_w * (avg_wavl / (const.plank * const.c_light * 1.0e16) * (wavl[1:] - wavl[:-1]))[
-        :, None
-    ]
+    nw_ch = fup_w.shape[0]
+    if compute_amean:
+        am_w = am_w * scale
+        # amean -> photons/cm^2/s (radiate.f90:167-179)
+        freq = freq_master[i0 : i1 + 2]
+        wavl = wavl_master[i0 : i1 + 2]
+        avg_freq = 0.5 * (freq[:-1] + freq[1:])
+        avg_wavl = 1.0e9 * const.c_light / avg_freq  # nm
+        am_w = am_w * (avg_freq / avg_wavl)[:, None]
+        am_w = am_w * (avg_wavl / (const.plank * const.c_light * 1.0e16)
+                       * (wavl[1:] - wavl[:-1]))[:, None]
+        amean_out = am_w[:, ::-1].T
+    else:
+        amean_out = jnp.zeros((nz + 1, nw_ch), fup_w.dtype)
 
     return dict(
         fup_a=fup_w[:, ::-1].T,
         fdn_a=fdn_w[:, ::-1].T,
-        amean=am_w[:, ::-1].T,
+        amean=amean_out,
         tau_band=opr["tau_band"][i0 : i1 + 1][:, ::-1].T,
     )
 

@@ -51,25 +51,32 @@ def main():
     dens = mix * den[:, None]
 
     def tau_species(P, T, dens, dz):
+        # nz-minor assembly, mirroring compute_opacity (r4 layout)
+        from clima_tpu.radtran.opacity import _interp_ktable_t
+
         log10P = jnp.log10(P)
         cols = dens * dz[:, None]
         tau_ks = []
         for kt in op.k:
-            kcoef = _interp_ktable(kt, log10P, T)
-            tau_sp = kcoef * cols[:, kt.sp_ind][:, None, None]
-            tau_ks.append(jnp.transpose(tau_sp, (2, 0, 1)))
-        return jnp.stack(tau_ks, axis=0)  # (nk, W, nz, G)
+            kcoef = _interp_ktable_t(kt, log10P, T)  # (G, W, nz)
+            tau_ks.append(kcoef * cols[:, kt.sp_ind][None, None, :])
+        return jnp.stack(tau_ks, axis=0)  # (nk, G, W, nz)
 
     def kinterp(Ts, T, P, dens, dz):
         return jnp.sum(tau_species(P, T, dens, dz)) + 0.0 * Ts
 
     def kinterp_rorr(Ts, T, P, dens, dz):
+        from clima_tpu.ops.pallas_rorr import k_rorr_mix_pallas_t
+
         tau_ks = tau_species(P, T, dens, dz)
-        mixed = k_rorr_mix_pallas(tau_ks, op.kset.wbin, op.kset.wbin_e)
+        nk, G = tau_ks.shape[0], tau_ks.shape[1]
+        mixed = k_rorr_mix_pallas_t(
+            tau_ks.reshape(nk, G, -1), op.kset.wbin, op.kset.wbin_e
+        )
         return jnp.sum(mixed) + 0.0 * Ts
 
     def kinterp_rorr_xla(Ts, T, P, dens, dz):
-        tau_ks = tau_species(P, T, dens, dz)
+        tau_ks = jnp.moveaxis(tau_species(P, T, dens, dz), 1, -1)
         mixed = k_rorr_mix(tau_ks, jnp.asarray(op.kset.wbin_e))
         return jnp.sum(mixed) + 0.0 * Ts
 

@@ -34,20 +34,31 @@ HBM_PEAK_GBS = {"tpu v5e": 819.0, "tpu v5 lite": 819.0}
 
 
 def _time(fn, args, iters, vary_index=0):
+    """Best-of-iters single-dispatch wall time (min is the right statistic
+    against the relay's long-tailed latency noise)."""
     import numpy as np
 
     out = fn(*args)
     np.asarray(out)
-    t0 = time.perf_counter()
+    best = float("inf")
     for i in range(iters):
         a = list(args)
         a[vary_index] = a[vary_index] * (1.0 + 1e-6 * (i + 1))
+        t0 = time.perf_counter()
         np.asarray(fn(*a))
-    return (time.perf_counter() - t0) / iters
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
-def _slope(make_f, args, iters, K=9):
-    """Per-application time via the K-repeat slope (cancels fixed overhead)."""
+def _slope(make_f, args, iters, K=25):
+    """Per-application time via the K-repeat slope (cancels fixed overhead).
+
+    K=25 with best-of timing: the relay round-trip carries tens of ms of
+    long-tailed noise, and at K=9 the slope of a ~1 ms kernel is smaller
+    than that noise — ROOFLINE_r03's two_stream_ir '1.28 ms / 57% of HBM
+    peak' was exactly this artifact (the repeatable r4 measurement is
+    ~7.6 ms, VPU-bound).
+    """
     t1 = _time(make_f(1), args, iters)
     tK = _time(make_f(K), args, iters)
     return max((tK - t1) / (K - 1), 1e-9), t1
@@ -108,10 +119,17 @@ def main():
 
     dt, _ = _slope(make_ir, (tau, w0, gt, emis, bpl), args.iters)
     bytes_ir = (3 * B * nz + B * (nz + 1) + B + 2 * B * (nz + 1)) * itemsize
+    # ~350 f32 ops/element: coefficients (exp/sqrt/div) ~35, Planck-source
+    # rows ~35, 8 block-PCR sweeps x ~35, flux reconstruction ~10. At
+    # measured dt this runs ~1.1 TFLOP/s — VPU-bound (arithmetic intensity
+    # ~37 flops/byte is far above the v5e balance point ~5), NOT HBM-bound
+    ops_ir = 350.0
     results.append(
         dict(kernel="two_stream_ir", time_ms=dt * 1e3,
              solves_per_s=B / dt, achieved_GBs=bytes_ir / dt / 1e9,
-             limiter="HBM")
+             achieved_TFlops=B * nz * ops_ir / dt / 1e12,
+             flops_per_element_est=ops_ir,
+             limiter="VPU (fused two-stream is compute-bound)")
     )
 
     # --- two-stream solar ---
@@ -130,10 +148,13 @@ def main():
 
     dt, _ = _slope(make_sol, (tau, w0, gt, u0, rs), args.iters)
     bytes_sol = (3 * B * nz + 2 * B + 3 * B * (nz + 1)) * itemsize
+    ops_sol = 450.0  # + delta-Eddington scaling, direct beam, amean
     results.append(
         dict(kernel="two_stream_solar", time_ms=dt * 1e3,
              solves_per_s=B / dt, achieved_GBs=bytes_sol / dt / 1e9,
-             limiter="HBM")
+             achieved_TFlops=B * nz * ops_sol / dt / 1e12,
+             flops_per_element_est=ops_sol,
+             limiter="VPU (fused two-stream is compute-bound)")
     )
 
     # --- multi-zenith solar (shared matrix, 4 RHS — the production path) ---
@@ -154,10 +175,17 @@ def main():
 
     dt, _ = _slope(make_sol_multi, (tau, w0, gt, rs), args.iters)
     bytes_solm = (3 * B * nz + B + 3 * nzen * B * (nz + 1)) * itemsize
+    # shared elimination ~350 + 4 zeniths x (particular solutions + RHS
+    # sweeps + flux) ~110 each. Empirical proof of the VPU limiter: the
+    # weight-fused variant below removes ~75% of the HBM write traffic and
+    # moves wall time by only ~7%
+    ops_solm = 350.0 + nzen * 110.0
     results.append(
         dict(kernel="two_stream_solar_multi4", time_ms=dt * 1e3,
              solves_per_s=nzen * B / dt, achieved_GBs=bytes_solm / dt / 1e9,
-             limiter="HBM")
+             achieved_TFlops=B * nz * ops_solm / dt / 1e12,
+             flops_per_element_est=ops_solm,
+             limiter="VPU (multi-RHS PCR + per-zenith sources)")
     )
 
     # --- weight-fused production kernels (VERDICT r4: the solar kernel
@@ -189,7 +217,8 @@ def main():
     results.append(
         dict(kernel="two_stream_ir_weighted", time_ms=dt * 1e3,
              solves_per_s=B / dt, achieved_GBs=bytes_irw / dt / 1e9,
-             limiter="HBM")
+             achieved_TFlops=B * nz * 355.0 / dt / 1e12,
+             limiter="VPU (compute-bound; fused gauss reduction)")
     )
 
     def make_solw(K):
@@ -209,7 +238,8 @@ def main():
     results.append(
         dict(kernel="two_stream_solar_multi4_weighted", time_ms=dt * 1e3,
              solves_per_s=nzen * B / dt, achieved_GBs=bytes_solw / dt / 1e9,
-             limiter="HBM")
+             achieved_TFlops=B * nz * (350.0 + nzen * 110.0) / dt / 1e12,
+             limiter="VPU (compute-bound; fused zenith+gauss reduction)")
     )
 
     # --- rank-RORR mixing chain (3 species) ---
