@@ -113,16 +113,20 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
     """
     if not c.double_radiative_grid:
         raise ClimaException("device RCE requires double_radiative_grid=True")
-    if c.tidally_locked_dayside:
-        raise ClimaException(
-            "device RCE does not support tidally_locked_dayside (use the "
-            "host solver c.RCE)"
-        )
-    if c.compute_solar_in_jac:
-        raise ClimaException(
-            "device RCE implements the default compute_solar_in_jac=False "
-            "Jacobian (solar frozen); use the host solver otherwise"
-        )
+    # Tidally-locked dayside: the Koll (2022) heat-redistribution factor
+    # 4f scales the solar fluxes (clima_adiabat.f90:986-1009, parameters
+    # :1322-1395). It is a smooth scalar function of the CURRENT state
+    # (T_surf, surface mix, P_surf, band optical depths, bond albedo), so it
+    # traces cleanly into the device objective.
+    tl = bool(c.tidally_locked_dayside)
+    # compute_solar_in_jac=True (clima_adiabat_solve.f90:768-822): the
+    # reference re-runs solar RT per FD perturbation — but its Jacobian
+    # freezes opacity, and solar RT on frozen opacity is INDEPENDENT of
+    # temperature, so the recompute changes the fluxes only through the
+    # tidally-locked enhancement factor (which depends on T_surf). The
+    # device Jacobian therefore implements it exactly as a per-perturbation
+    # re-evaluation of the Koll factor on the frozen solar parts.
+    solar_jac = bool(c.compute_solar_in_jac)
 
     par = dataclasses.replace(c._par, P_top=float(c.P_top))
     nz = c.nz
@@ -160,6 +164,23 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         pl_logP = jnp.asarray(c._particle_log10P)
         pl_dens = jnp.asarray(c._particle_log10_dens)
         pl_radii = jnp.asarray(c._particle_log10_radii)
+
+    if tl:
+        from ..physics import eqns as _eq
+
+        tl_L = float(c.L)
+        tl_chi = float(c.chi)
+        tl_nLW = float(c.n_LW)
+        tl_Cd = float(c.Cd)
+        tl_grav = float(_eq.gravity(c.planet_radius, c.planet_mass, 0.0))
+        tl_bol = float(rad.bolometric_flux())
+        _wavl_ir = np.asarray(rad.ir.wavl, np.float64)
+        _freq_ir = np.asarray(rad.ir.freq, np.float64)
+        tl_dlam = jnp.asarray(_wavl_ir[1:] - _wavl_ir[:-1])
+        _avg_freq = 0.5 * (_freq_ir[:-1] + _freq_ir[1:])
+        _avg_lam = const.c_light * 1.0e9 / _avg_freq
+        tl_avg_freq = jnp.asarray(_avg_freq)
+        tl_bp_scale = jnp.asarray(_avg_freq / _avg_lam)
 
     epsj = float(c.epsj)
     xtol_rc = float(c.xtol_rc)
@@ -278,7 +299,7 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         _sol_parts_df = build_solar_parts_df(
             sol_slice, rad.op.freq, op.kset.wbin, rad.surface_albedo,
             diurnal, rad.photons_sol * rad.photon_scale_factor,
-            rad.zenith_u, rad.zenith_weights, n,
+            rad.zenith_u, rad.zenith_weights, n, with_toa=tl,
         )
 
     def ir_parts(opr, T_surf, T_r, precise=True):
@@ -300,13 +321,48 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         return _net_edge_parts(ir["fup_a"], ir["fdn_a"], freq_ir)
 
     def sol_parts(opr, precise=True):
+        """(base, d) for the solar channel; with tidally_locked on, also
+        (fup_toa, fdn_toa) — the bond-albedo inputs."""
         if use_df and precise:
             return _sol_parts_df(opr)
         sol = radiate_solar(
             sol_slice, freq_master, wavl_master, wbin, opr, albedo, diurnal,
             photons, zenith_u, zenith_w, compute_amean=False,
         )
-        return _net_edge_parts(sol["fup_a"], sol["fdn_a"], freq_sol)
+        parts = _net_edge_parts(sol["fup_a"], sol["fdn_a"], freq_sol)
+        if not tl:
+            return parts
+        dfreq = freq_sol[:-1] - freq_sol[1:]
+        fup_toa = jnp.sum(sol["fup_a"][-1] * dfreq)  # ground-up: -1 = TOA
+        fdn_toa = jnp.sum(sol["fdn_a"][-1] * dfreq)
+        return parts[0], parts[1], fup_toa, fdn_toa
+
+    def rad_enhancement(opr, T_surf, f_surf, P_surf, bond_albedo):
+        """Koll (2022) 4f solar enhancement from the current state.
+
+        Mirrors ``AdiabatClimate.heat_redistribution_parameters``
+        (clima_adiabat.f90:1322-1395): Planck-weighted band optical depth
+        tau_LW at T_surf, equilibrium temperature from the bond albedo, and
+        the k/f closed forms of clima_eqns.f90:264-298.
+        """
+        from ..physics import eqns as _eq
+
+        tau_lambda = jnp.sum(
+            opr["tau_band"][ir_slice[0] : ir_slice[1] + 1], axis=1
+        )  # (nw_ir,): band optical depth summed over the radiative column
+        bplank = _eq.planck_fcn(tl_avg_freq, T_surf) * tl_bp_scale
+        num = jnp.sum(jnp.exp(-tau_lambda) * bplank * tl_dlam)
+        den = jnp.sum(bplank * tl_dlam)
+        tau_LW = -jnp.log(num / den)
+        Teq = _eq.equilibrium_temperature(tl_bol, bond_albedo)
+        mubar = pdot(f_surf, gas_masses)
+        cp_i = heat_capacity(par.thermo, T_surf)
+        cp = jnp.sum(cp_i * f_surf) * (1.0 / (mubar * 1.0e-3)) * 1.0e4
+        k_term = _eq.k_term_heat_redistribution(
+            tl_L, tl_grav, tl_chi, mubar, cp, tl_nLW, tl_Cd
+        )
+        f_term = _eq.f_heat_redistribution(tau_LW, P_surf, Teq, k_term)
+        return 4.0 * f_term
 
     def column_opacity(prof, T_r):
         pdens_r = to_radiative_grid(prof["pdens"]) if np_ > 0 else None
@@ -386,7 +442,16 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         T_r = to_radiative_grid(x_model[1:])
         opr = column_opacity(prof, T_r)
         b_ir, d_ir = ir_parts(opr, x_model[0], T_r, precise)
-        b_sol, d_sol = sol_parts(opr, precise)
+        if tl:
+            b_sol, d_sol, fup_toa, fdn_toa = sol_parts(opr, precise)
+            alb = fup_toa / fdn_toa
+            enh = rad_enhancement(
+                opr, x_model[0], prof["f_c"][0], prof["P_surf"], alb
+            )
+            b_sol = b_sol * enh
+            d_sol = d_sol * enh
+        else:
+            b_sol, d_sol = sol_parts(opr, precise)
         f_total = assemble_f_total(b_ir, d_ir, b_sol, d_sol)
         dFdt, dTdt = residuals(
             x_model, conv, f_total, prof["f_c"], prof["P_c"], prof["dz"]
@@ -396,6 +461,13 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             P_c=prof["P_c"], dz=prof["dz"], lr_intended=prof["lr_intended"],
             lr_actual=prof["lr_actual"], f_total=f_total,
         )
+        if tl:
+            # the Jacobian's solar-recompute option needs the pieces of the
+            # Koll factor that stay frozen (albedo, P_surf) plus the base
+            # factor itself (aux b_sol/d_sol are stored enhancement-scaled)
+            aux["enh"] = enh
+            aux["alb"] = alb
+            aux["P_surf"] = prof["P_surf"]
         return x_model, dFdt, dTdt, aux
 
     def jacobian(x_model, conv, aux, dTdt_base):
@@ -433,7 +505,21 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
         def one(Ts, T_lay):
             T_r = to_radiative_grid(T_lay)
             b_ir, d_ir = ir_parts(aux["opr"], Ts, T_r, use_df)
-            f_total = assemble_f_total(b_ir, d_ir, aux["b_sol"], aux["d_sol"])
+            b_sol, d_sol = aux["b_sol"], aux["d_sol"]
+            if tl and solar_jac:
+                # compute_solar_in_jac=True: solar RT on the frozen opacity
+                # is T-independent, so "recomputing solar" perturbs the
+                # fluxes only through the Koll 4f factor at the perturbed
+                # T_surf (frozen albedo/P_surf/mix, as the host's
+                # fixed-profile objective). aux parts carry the BASE factor;
+                # rescale by the ratio.
+                enh_p = rad_enhancement(
+                    aux["opr"], Ts, aux["f_c"][0], aux["P_surf"], aux["alb"]
+                )
+                scale = enh_p / aux["enh"]
+                b_sol = b_sol * scale
+                d_sol = d_sol * scale
+            f_total = assemble_f_total(b_ir, d_ir, b_sol, d_sol)
             xm = jnp.concatenate([Ts[None], T_lay])
             _, dTdt_p = residuals(xm, conv, f_total, aux["f_c"], aux["P_c"], aux["dz"])
             return dTdt_p

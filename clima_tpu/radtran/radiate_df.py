@@ -150,11 +150,15 @@ def build_ir_parts_df(channel_slice, freq_np, wbin_np, emis_np,
 
 def build_solar_parts_df(channel_slice, freq_np, wbin_np, albedo_np,
                          diurnal_fac, photons_np, zenith_u_np, zenith_w_np,
-                         n_phys):
+                         n_phys, with_toa=False):
     """Build ``solar_parts(opr) -> (base, d)`` in df64.
 
     ``photons_np``: per-bin stellar flux (already photon-scale-factored,
-    numpy f64); zenith angles/weights as in ``radiate_solar``.
+    numpy f64); zenith angles/weights as in ``radiate_solar``. With
+    ``with_toa=True`` the function returns ``(base, d, fup_toa, fdn_toa)``
+    where the last two are the frequency-integrated TOA fluxes (plain f32)
+    — the inputs of the bond albedo used by the tidally-locked
+    heat-redistribution factor (clima_adiabat.f90:1322-1340).
     """
     i0, i1 = channel_slice
     freq = np.asarray(freq_np, np.float64)[i0 : i1 + 2]
@@ -190,12 +194,23 @@ def build_solar_parts_df(channel_slice, freq_np, wbin_np, albedo_np,
             flat(tau), flat(w0), flat(g[:, None, :]), u0s, alb_f,
         )
         net = fdn - fup  # DF (nzen, nw*G, nzr+1)
-        net = df_map(lambda a: a.reshape(nzen, nw, nG, nzr + 1), net)
-        net_g = df_sum(net * df_map(lambda a: a[None, None, :, None], wbin),
+        net_r = df_map(lambda a: a.reshape(nzen, nw, nG, nzr + 1), net)
+        net_g = df_sum(net_r * df_map(lambda a: a[None, None, :, None], wbin),
                        axis=2)  # (nzen, nw, nzr+1)
         net_zw = df_sum(
             net_g * df_map(lambda a: a[:, :, None], scale_zw), axis=0
         )  # (nw, nzr+1)
-        return _edge_parts(net_zw, dfreq, n_phys)
+        parts = _edge_parts(net_zw, dfreq, n_phys)
+        if not with_toa:
+            return parts
+
+        def toa_int(x):
+            # TOA edge (index 0 TOA-down) -> zenith/gauss/frequency integral
+            xt = df_map(lambda a: a.reshape(nzen, nw, nG, nzr + 1)[..., 0], x)
+            xg = df_sum(xt * df_map(lambda a: a[None, None, :], wbin), axis=2)
+            xz = df_sum(xg * scale_zw, axis=0)  # (nw,)
+            return df_sum(xz * dfreq, axis=0).astype_sum()
+
+        return parts[0], parts[1], toa_int(fup), toa_int(fdn)
 
     return solar_parts

