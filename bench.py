@@ -113,17 +113,23 @@ def main():
     out = fn(T_surf_b, T_b, P_b, dens_b, dz_b)
     np.asarray(out[0])
 
-    # timed iterations; scale one input so every call is distinct
+    # timed iterations; scale one input so every call is distinct. The rate
+    # uses the MEDIAN per-iteration time: each iteration syncs through the
+    # axon relay, whose occasional ~1 s stalls are host/network noise, not
+    # chip time — a single stall in a mean-based timing misreported the r4
+    # headline 3x low (BENCH_r04 1.78M vs 5.4M re-measured, VERDICT r5).
     n_iter = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
+    times = []
     for i in range(n_iter):
+        t0 = time.perf_counter()
         out = fn(T_surf_b * (1.0 + 1e-6 * i), T_b, P_b, dens_b, dz_b)
         np.asarray(out[0])
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     ngauss = op.kset.nbin
     solves_per_column = ir.nw * ngauss * 1 + sol.nw * ngauss * n_zen
-    total_solves = solves_per_column * B * n_iter * K
+    total_solves = solves_per_column * B * K
     rate = total_solves / dt
 
     print(
