@@ -65,9 +65,14 @@ def _custom_f(cm: CustomMix, P):
     return f / jnp.maximum(jnp.sum(f), 1e-200)
 
 
-def mixing_ratios_rc(par, RH, cond, cm: CustomMix, f_i_dry, P, T):
-    """Mixing ratios with condensing/dry/custom species (rc.f90:786-833)."""
-    psat = RH * saturation.sat_pressure(par.sat, T)
+def mixing_ratios_rc(par, RH, cond, cm: CustomMix, f_i_dry, P, T,
+                     T_branch=None):
+    """Mixing ratios with condensing/dry/custom species (rc.f90:786-833).
+
+    ``T_branch`` pins the latent-heat regime (see profile.saturation notes):
+    the event-split RK4 pieces must be analytic within a piece.
+    """
+    psat = RH * saturation.sat_pressure(par.sat, T, T_branch)
     f_c = jnp.minimum(psat / P, 1.0)
     f_moist = jnp.sum(jnp.where(cond, f_c, 0.0))
     f_dry = jnp.maximum(1.0 - f_moist, F_DRY_MIN)
@@ -88,13 +93,13 @@ def update_f_i_dry_rc(cond, cm: CustomMix, f_i, P):
     return P_i / jnp.maximum(P_dry, 1e-200)
 
 
-def lapse_rate_rc(par, RH, cond, cm: CustomMix, f_i_dry, P, T):
+def lapse_rate_rc(par, RH, cond, cm: CustomMix, f_i_dry, P, T, T_branch=None):
     """Generalized adiabat dlnT/dlnP with custom species in cp_dry (rc.f90:835-891)."""
-    f_i, f_dry = mixing_ratios_rc(par, RH, cond, cm, f_i_dry, P, T)
+    f_i, f_dry = mixing_ratios_rc(par, RH, cond, cm, f_i_dry, P, T, T_branch)
     cp_i = heat_capacity(par.thermo, T)
     dry_or_custom = (~cond)
     cp_dry = jnp.sum(jnp.where(dry_or_custom, f_i_dry * cp_i, 0.0)) + 1e-300
-    L = saturation.latent_heat(par.sat, T) * par.gas_masses * 1.0e-7
+    L = saturation.latent_heat(par.sat, T, T_branch) * par.gas_masses * 1.0e-7
     Rsi = const.Rgas_si
     beta = L / (Rsi * T)
     first = jnp.sum(jnp.where(cond, f_i * (cp_i - Rsi * beta + Rsi * beta**2), 0.0))
@@ -203,6 +208,12 @@ def make_profile_rc_core(par: AdiabatParams, RH, T_surf, T_in, P_i_surf,
 
     # per-interval metadata (static python lists -> arrays)
     import numpy as _np
+    from .profile import kink_temps
+
+    # latent-heat branch kinks for the convective event-split (static skip
+    # when nothing condenses)
+    _any_sat = bool(_np.any(_np.asarray(par.sat.has_sat)))
+    kinks, kvalid = kink_temps(par.sat)
 
     li = _np.array([(m + 1) // 2 for m in range(2 * nz)])  # 0-based governing layer
     li = _np.minimum(li, nz - 1)
@@ -216,19 +227,19 @@ def make_profile_rc_core(par: AdiabatParams, RH, T_surf, T_in, P_i_surf,
 
         la, lb = jnp.log(P_a), jnp.log(P_b)
 
-        def rhs_conv(P, u):
+        def rhs_conv(P, u, cond, fid, Tb):
             zz, TT = u[0], u[1]
-            f_i, _ = mixing_ratios_rc(par, RH, cond, cm, fid, P, TT)
+            f_i, _ = mixing_ratios_rc(par, RH, cond, cm, fid, P, TT, Tb)
             mubar = jnp.sum(f_i * par.gas_masses)
             grav = (
                 const.G_grav * (par.planet_mass / 1.0e3)
                 / ((par.planet_radius + zz) / 1.0e2) ** 2 * 1.0e2
             )
             dz = -(const.Rgas * TT) / (grav * P * mubar)
-            dlnT = lapse_rate_rc(par, RH, cond, cm, fid, P, TT)
+            dlnT = lapse_rate_rc(par, RH, cond, cm, fid, P, TT, Tb)
             return jnp.array([dz, dlnT * TT / P])
 
-        def rhs_rad(P, u):
+        def rhs_rad(P, u, cond, fid):
             zz = u[0]
             TT, _ = T_interp(T_nodes, P)
             f_i, _ = mixing_ratios_rc(par, RH, cond, cm, fid, P, TT)
@@ -240,24 +251,125 @@ def make_profile_rc_core(par: AdiabatParams, RH, T_surf, T_in, P_i_surf,
             dz = -(const.Rgas * TT) / (grav * P * mubar)
             return jnp.array([dz, 0.0])
 
-        def rhs(P, u):
-            return jnp.where(conv_flag, rhs_conv(P, u), rhs_rad(P, u))
+        def rhs(P, u, cond, fid, Tb):
+            # cond/fid are passed EXPLICITLY (not closed over): each RK
+            # substep must integrate with the state updated at the previous
+            # substep boundary. A closure over the interval-entry state
+            # delayed dry<->condensing switches by up to a whole grid
+            # interval (~6 K at a CO2 condensation onset; caught by
+            # tests/test_rc_oracle.py's event-located transcription).
+            # ``Tb`` pins the latent-heat branch of a convective RK4 piece
+            # (kink events at T_triple/T_critical are split, see substep).
+            return jnp.where(
+                conv_flag, rhs_conv(P, u, cond, fid, Tb),
+                rhs_rad(P, u, cond, fid),
+            )
+
+        def rk4p(Pa, Pb, u, cond, fid, Tb):
+            h = Pb - Pa
+            k1 = rhs(Pa, u, cond, fid, Tb)
+            k2 = rhs(Pa + 0.5 * h, u + 0.5 * h * k1, cond, fid, Tb)
+            k3 = rhs(Pa + 0.5 * h, u + 0.5 * h * k2, cond, fid, Tb)
+            k4 = rhs(Pb, u + h * k3, cond, fid, Tb)
+            return u + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
         def substep(c, k):
             z, T_run, cond, fid = c
-            p0 = jnp.exp(la + (lb - la) * k / K)
-            p1 = jnp.exp(la + (lb - la) * (k + 1) / K)
-            h = p1 - p0
+            lp0 = la + (lb - la) * k / K
+            lp1 = la + (lb - la) * (k + 1) / K
+            p0 = jnp.exp(lp0)
+            p1 = jnp.exp(lp1)
             u = jnp.array([z, T_run])
-            k1 = rhs(p0, u)
-            k2 = rhs(p0 + 0.5 * h, u + 0.5 * h * k1)
-            k3 = rhs(p0 + 0.5 * h, u + 0.5 * h * k2)
-            k4 = rhs(p1, u + h * k3)
-            u_new = u + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+            # ---- piece 1: branch-pinned full substep ----
+            T0 = T_run
+            u1 = rk4p(p0, p1, u, cond, fid, T0)
+            T1 = u1[1]
+
+            if _any_sat:
+                # ---- convective in-substep events (the reference's
+                # dense-output dop853 roots, rc.f90:434-536, and the
+                # latent-heat kinks its adaptive stepping resolves):
+                # replicate profile._rk4_event_split on the rc state ----
+                def g_sat(P, T):
+                    f_i, _ = mixing_ratios_rc(par, RH, cond, cm, fid, P, T,
+                                              T0)
+                    psat = RH * saturation.sat_pressure(par.sat, T, T0)
+                    return f_i * P - psat
+
+                crossed_k = conv_flag & kvalid & (
+                    (T0 - kinks) * (T1 - kinks) < 0.0
+                )
+                denomT = jnp.where(jnp.abs(T0 - T1) > 1e-300, T0 - T1, 1e-300)
+                theta_k = jnp.where(crossed_k, (T0 - kinks) / denomT, jnp.inf)
+                g0 = g_sat(p0, T0)
+                g1 = g_sat(p1, T1)
+                newly = (
+                    conv_flag & jnp.asarray(par.sat.has_sat) & (~cond)
+                    & (~cm.mask) & (g0 < 0.0) & (g1 >= 0.0)
+                )
+                denomG = jnp.where(jnp.abs(g0 - g1) > 1e-300, g0 - g1, 1e-300)
+                theta_m = jnp.where(newly, g0 / denomG, jnp.inf)
+
+                thetas = jnp.concatenate([theta_k, theta_m])
+                j = jnp.argmin(thetas)
+                has_event = jnp.isfinite(thetas[j]) & (thetas[j] < 1.0)
+                theta0 = jnp.clip(
+                    jnp.where(has_event, thetas[j], 0.5), 1e-6, 1.0 - 1e-6
+                )
+                is_kink = j < 2 * ng
+                K_sel = jnp.where(
+                    is_kink, kinks[jnp.minimum(j, 2 * ng - 1)], 0.0
+                )
+                j_gas = jnp.where(is_kink, 0, j - 2 * ng)
+                r0 = jnp.where(is_kink, T0 - K_sel, g0[j_gas])
+
+                def residual_at(theta):
+                    Pc = jnp.exp(lp0 + theta * (lp1 - lp0))
+                    uc = rk4p(p0, Pc, u, cond, fid, T0)
+                    r = jnp.where(
+                        is_kink, uc[1] - K_sel, g_sat(Pc, uc[1])[j_gas]
+                    )
+                    return uc, r
+
+                def refine(theta_a, r_a):
+                    denom = jnp.where(
+                        jnp.abs(r0 - r_a) > 1e-300, r0 - r_a, 1e-300
+                    )
+                    th = theta_a * r0 / denom
+                    return jnp.clip(
+                        jnp.where(jnp.isfinite(th), th, theta_a),
+                        1e-6, 1.0 - 1e-6,
+                    )
+
+                _, r_c0 = residual_at(theta0)
+                theta1 = refine(theta0, r_c0)
+                _, r_c1 = residual_at(theta1)
+                theta2 = refine(theta1, r_c1)
+                uc, _ = residual_at(theta2)
+                Pc = jnp.exp(lp0 + theta2 * (lp1 - lp0))
+                # onset: grow the condensing set + repartition the dry pool
+                # (mixing ratios at the root under the OLD state, THEN the
+                # switch, exactly the reference's order, rc.f90:494-501)
+                onset = has_event & (~is_kink)
+                cond2 = cond | ((jnp.arange(ng) == j_gas) & onset)
+                f_c, _ = mixing_ratios_rc(par, RH, cond, cm, fid, Pc, uc[1],
+                                          T0)
+                fid_on = update_f_i_dry_rc(cond2, cm, f_c, Pc)
+                fid2 = jnp.where(onset, fid_on, fid)
+                # piece 2: far-side latent-heat branch / grown set
+                u2 = rk4p(Pc, p1, uc, cond2, fid2, T1)
+                u_new = jnp.where(has_event, u2, u1)
+                cond = jnp.where(has_event, cond2, cond)
+                fid = jnp.where(has_event, fid2, fid)
+            else:
+                u_new = u1
+
             z_new = u_new[0]
             T_interp_val, slope = T_interp(T_nodes, p1)
             T_new = jnp.where(conv_flag, u_new[1], T_interp_val)
-            # state switching at substep boundaries
+            # state switching at substep boundaries (radiative-side events:
+            # saturation onsets against the prescribed T, cold traps)
             cond_new, fid_new = _root_switches(
                 par, RH, cond, cm, fid, p1, T_new, slope, conv_flag
             )
@@ -299,8 +411,15 @@ def make_profile_rc_core(par: AdiabatParams, RH, T_surf, T_in, P_i_surf,
     carry, (T_lev, z_lev, f_lev, lr_lev) = jax.lax.scan(interval, carry0, xs)
     T_nodes_final = carry[4]
 
-    f_i_surf, _ = mixing_ratios_rc(par, RH, cond_start, cm, fid_start, P_surf, T_surf)
-    lr_surf = lapse_rate_rc(par, RH, cond_start, cm, fid_start, P_surf, T_surf)
+    # The SURFACE record uses the state from surface classification — BEFORE
+    # the radiative cold-trap pre-check: the reference stores lapse_rate(1)
+    # and f_i(1,:) at integrate() entry (rc.f90:357-359), and only then runs
+    # the pre-check that may demote condensing gases for the integration
+    # (rc.f90:416-427). lapse_rate_e[0] feeds lapse_rate_intended[0] in the
+    # RCE mask updates, so recording the post-check (drier) state instead
+    # was a real parity bug (caught by tests/test_rc_oracle.py).
+    f_i_surf, _ = mixing_ratios_rc(par, RH, cond0, cm, f_i_dry0, P_surf, T_surf)
+    lr_surf = lapse_rate_rc(par, RH, cond0, cm, f_i_dry0, P_surf, T_surf)
 
     T_e = jnp.concatenate([jnp.atleast_1d(T_surf), T_lev])
     z_e = jnp.concatenate([jnp.zeros(1, P_e.dtype), z_lev])

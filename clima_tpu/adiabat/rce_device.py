@@ -81,6 +81,44 @@ __all__ = ["build_rce_fns", "batched_rce"]
 _NEWTON = 0
 _PTC = 1
 
+
+def _fmt_lanes(*arrs):
+    """Row-major lane formatting for debug callbacks (vmap-batched args)."""
+    a = [np.atleast_1d(np.asarray(x)) for x in arrs]
+    return a, a[0].shape[0]
+
+
+def _verbose_solver_line(it, kind, accepted, ratio, fnorm, tmax, tmin):
+    (it, kind, accepted, ratio, fnorm, tmax, tmin), n = _fmt_lanes(
+        it, kind, accepted, ratio, fnorm, tmax, tmin
+    )
+    for l in range(n):
+        lane = f"[{l}] " if n > 1 else ""
+        stage = "PTC " if int(kind[l]) == _PTC else "NEWT"
+        print(
+            f"   {lane}it ={int(it[l]):5d}  {stage}  "
+            f"acc={str(bool(accepted[l])):5s}  "
+            f"max|F/F0| = {float(ratio[l]):9.2e}  "
+            f"|dT/dt| = {float(fnorm[l]):9.2e}  "
+            f"max(T) = {float(tmax[l]):7.1f}  min(T) = {float(tmin[l]):7.1f}",
+            flush=True,
+        )
+
+
+def _verbose_outer_line(it, mode, changed, solve_ok, its):
+    (it, mode, changed, solve_ok, its), n = _fmt_lanes(
+        it, mode, changed, solve_ok, its
+    )
+    for l in range(n):
+        lane = f"[{l}] " if n > 1 else ""
+        print(
+            f"{lane}rc_iter ={int(it[l]):3d}  mode ={int(mode[l]):2d}  "
+            f"mask_changed={str(bool(changed[l])):5s}  "
+            f"solve_ok={str(bool(solve_ok[l])):5s}  "
+            f"solve_iters ={int(its[l]):5d}",
+            flush=True,
+        )
+
 # reference retry ladder: perturbation = +k for even k, -k for odd k,
 # giving 0, -1, +2, -3 (clima_adiabat_solve.f90:405-411)
 _SEED_PERTS = np.array([0.0, -1.0, 2.0, -3.0])
@@ -91,12 +129,20 @@ def _acc_dtype():
 
 
 def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600,
-                  max_line_search=8, record_trace=False, flux_precision="auto"):
+                  max_line_search=8, record_trace=False, flux_precision="auto",
+                  verbose=False):
     """Build the pure single-column RCE functions from an AdiabatClimate.
 
     All configuration (tolerances, hysteresis knobs, strategy, opacity data)
     is read from ``c`` at build time and closed over as static values —
     changing knobs on ``c`` afterwards requires rebuilding.
+
+    ``verbose=True`` streams a solver line per inner iteration and an outer
+    line per RC iteration from INSIDE the running device program via
+    ``jax.debug.callback`` (the reference's printout,
+    clima_adiabat_solve.f90:495-500), making hour-long batched ensembles
+    observable; under vmap each line shows all lanes. Callbacks cost a
+    host round-trip per iteration — leave off for production throughput.
 
     ``flux_precision`` selects how the cancellation-prone flux residual is
     evaluated: ``"standard"`` uses the native dtype (f64 with x64 enabled,
@@ -678,6 +724,12 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
                 | (advance & out_of_stages)
                 | (it >= max_total_iters)
             )
+            if verbose:
+                jax.debug.callback(
+                    _verbose_solver_line, it, kind, ts["accepted"],
+                    flux_ratio(dFdt_out), norm_out,
+                    jnp.max(x_out), jnp.min(x_out),
+                )
             return dict(
                 x=x_out, dFdt=dFdt_out, dTdt=dTdt_out, aux=aux_out,
                 norm=norm_out,
@@ -998,6 +1050,10 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             mode_new = jnp.where(to_mode2, 2, jnp.where(to_mode3, 3, mode))
 
             done = conv_now | (~solve_ok) | (it >= max_rc_iters)
+            if verbose:
+                jax.debug.callback(
+                    _verbose_outer_line, it, mode, changed, solve_ok, its
+                )
             out = dict(
                 x=x_s, conv=conv2, mode=mode_new,
                 perform_solve=~skip_solve, lock=lock2, it=it,
