@@ -149,6 +149,7 @@ def make_column_fns(c):
         return dict(
             ISR=ISR, OLR=OLR, fup_sol_toa=fup_sol[-1], fdn_sol_toa=fdn_sol[-1],
             P_surf=b["P_surf"], N_atmos=b["N_atmos"], N_surface=b["N_surface"],
+            f_i_surf=b["prof"]["f_i_e"][0],
         )
 
     def toa_fluxes(T_surf, P_i_surf):

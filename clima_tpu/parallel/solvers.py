@@ -165,16 +165,47 @@ def _maybe_shard(mesh, *arrays):
     return tuple(out)
 
 
-def batched_make_column(c, T_surf_b, N_i_b, mesh=None, tol=None, max_iter=50):
+def _traced_ocean_terms(c, ocean_fcns):
+    """Compile the static (j, fcn) list for traced ocean reservoirs.
+
+    ``ocean_fcns``: dict {species_name: fcn(T_surf, P_i_bars) -> (ng,)
+    mol/kg molalities} of JAX-TRACEABLE solubility callbacks — the traced
+    analogue of ``set_ocean_solubility_fcn`` (whose arbitrary host Python
+    callables cannot cross jit; re-pose the solubility law as jnp math to
+    use it on the batched path).
+    """
+    if not ocean_fcns:
+        return []
+    return [(c.species_names.index(name), fcn)
+            for name, fcn in ocean_fcns.items()]
+
+
+def _n_total_with_oceans(m, T_surf, ocean_items, gas_masses):
+    """N_atmos + N_surface + sum_j N_ocean[:, j] (general.f90:226-246)."""
+    N = m["N_atmos"] + m["N_surface"]
+    if ocean_items:
+        P_i_atm = m["f_i_surf"] * m["P_surf"]
+        for j, fcn in ocean_items:
+            m_i = jnp.asarray(fcn(T_surf, P_i_atm / 1.0e6))
+            m_i = m_i.at[j].set(0.0)  # an ocean cannot dissolve into itself
+            N = N + m_i * m["N_surface"][j] * (gas_masses[j] / 1.0e3)
+    return N
+
+
+def batched_make_column(c, T_surf_b, N_i_b, mesh=None, tol=None, max_iter=50,
+                        ocean_fcns=None):
     """Device-batched ``make_column`` (clima_adiabat.f90:476-581).
 
     Solves log10(P_i_surf) per column such that
-    N_atmos + N_surface = N_i target (mol/cm^2), with the surface-reservoir
-    bookkeeping of the moist adiabat inside jit. Ocean-solubility callbacks
-    (host Python callables) are not supported on the batched path — use the
-    host ``make_column`` for ocean cases.
+    N_atmos + N_surface + sum_j N_ocean[:, j] = N_i target (mol/cm^2), with
+    the surface-reservoir bookkeeping of the moist adiabat inside jit.
+    ``ocean_fcns``: optional dict {species_name: fcn(T_surf, P_i_bars) ->
+    (ng,) mol/kg} of JAX-TRACEABLE solubility callbacks (see
+    ``_traced_ocean_terms``); the residual then includes the dissolved
+    reservoirs exactly as the host ``make_column`` does
+    (clima_adiabat.f90:476-581, general.f90:226-246).
 
-    Returns dict(P_i_surf (B, ng), fnorm, converged).
+    Returns dict(P_i_surf (B, ng), fnorm, converged, fnorm_floor, status).
     """
     fns = make_column_fns(c)
     profile_only = fns["profile_only"]
@@ -182,6 +213,7 @@ def batched_make_column(c, T_surf_b, N_i_b, mesh=None, tol=None, max_iter=50):
     tol = float(c.tol_make_column) if tol is None else tol
     grav = float(eqns.gravity(c.planet_radius, c.planet_mass, 0.0))
     gas_masses = np.asarray(c.sp.gas_masses)
+    ocean_items = _traced_ocean_terms(c, ocean_fcns)
     scales = np.array([1.0, 0.5, 2.0, 0.1, 5.0, 0.01])  # clima_adiabat.f90:528
 
     T_surf_b = jnp.asarray(T_surf_b, dtype=jnp.float64)
@@ -197,7 +229,7 @@ def batched_make_column(c, T_surf_b, N_i_b, mesh=None, tol=None, max_iter=50):
         def residual(x):
             P_i = 10.0 ** x
             m = profile_only(T_surf, P_i, T_trop)
-            N = m["N_atmos"] + m["N_surface"]
+            N = _n_total_with_oceans(m, T_surf, ocean_items, gas_masses)
             scale = jnp.maximum(jnp.abs(N_target), 1.0e-30)
             return N - N_target, scale
 
@@ -302,7 +334,8 @@ def batched_surface_temperature_trop(c, P_i_b, T_guess=280.0, mesh=None,
 
 
 def batched_surface_temperature_column(c, N_i_b, T_guess=280.0, mesh=None,
-                                       tol=1.0e-8, max_iter=60):
+                                       tol=1.0e-8, max_iter=60,
+                                       ocean_fcns=None):
     """Device-batched ``surface_temperature_column`` (clima_adiabat.f90:984-999).
 
     The reference nests hybrd1 solves (an ng-DOF make_column inside every
@@ -318,6 +351,7 @@ def batched_surface_temperature_column(c, N_i_b, T_guess=280.0, mesh=None,
     shf = float(c.surface_heat_flow)
     grav = float(eqns.gravity(c.planet_radius, c.planet_mass, 0.0))
     gas_masses = np.asarray(c.sp.gas_masses)
+    ocean_items = _traced_ocean_terms(c, ocean_fcns)
 
     N_i_b = jnp.asarray(N_i_b, dtype=jnp.float64)
     B, ng = N_i_b.shape
@@ -335,7 +369,7 @@ def batched_surface_temperature_column(c, N_i_b, T_guess=280.0, mesh=None,
             P_i = 10.0 ** x[1:]
             m = column_model(T_surf, P_i, T_trop)
             r1, s1 = _energy_residual_parts(m, shf)
-            N = m["N_atmos"] + m["N_surface"]
+            N = _n_total_with_oceans(m, T_surf, ocean_items, gas_masses)
             sN = jnp.maximum(jnp.abs(N_target), 1.0e-30)
             return (jnp.concatenate([r1[None], N - N_target]),
                     jnp.concatenate([s1[None], sN]))
