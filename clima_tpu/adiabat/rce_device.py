@@ -1153,7 +1153,9 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
 
 
 def batched_rce(c, P_i_surf_b, T_surf_guess_b, T_guess_b,
-                convecting_with_below_b=None, mesh=None, **build_kwargs):
+                convecting_with_below_b=None, mesh=None,
+                chunk_iters=None, max_chunks=50, _cache=None,
+                **build_kwargs):
     """Batched device-side RCE over a column ensemble.
 
     Every column runs the full reference RCE loop (profile rebuild, RT,
@@ -1165,6 +1167,17 @@ def batched_rce(c, P_i_surf_b, T_surf_guess_b, T_guess_b,
     Returns a dict of batched arrays (T_surf, T, convecting_with_below,
     converged, status, ratio_best, residual_dFdt, max_ratio, rc_iters, P,
     f_i, ...).
+
+    ``chunk_iters`` bounds the inner-solver iterations of a SINGLE device
+    dispatch: the full solve becomes up to ``max_chunks`` dispatches of the
+    same compiled program, warm-restarted from each chunk's state (T and
+    convection mask back in as the guess). Use it when one dispatch would
+    run longer than the execution environment tolerates (the axon relay's
+    TPU worker was observed to die on single dispatches beyond ~10 minutes)
+    or to get host-side progress between chunks; a resumed solve restarts
+    its Newton seed ladder/PTC clock from the best state, which does not
+    change the fixed point. ``rc_iters``/``solve_iters`` accumulate across
+    chunks; other diagnostics are the last chunk's.
 
     .. warning:: When ``converged[b]`` is False the returned column is the
        BEST ITERATE, not an equilibrium. ``status[b]`` says how it failed:
@@ -1179,7 +1192,19 @@ def batched_rce(c, P_i_surf_b, T_surf_guess_b, T_guess_b,
        ``residual_dFdt[b]`` is the per-row flux residual of the returned
        state (mW/m^2).
     """
-    fns = build_rce_fns(c, **build_kwargs)
+    if chunk_iters is not None:
+        build_kwargs = dict(build_kwargs, max_total_iters=int(chunk_iters))
+    # _cache: a caller-owned dict that keeps the traced/jitted program
+    # across calls WITH IDENTICAL c/config/batch-shape (compiling the large
+    # df64 program takes minutes through the remote toolchain; benchmarks
+    # re-dispatching the same ensemble shape must not pay it twice)
+    if _cache is not None and _cache.get("key") == repr(sorted(build_kwargs.items())):
+        fns = _cache["fns"]
+    else:
+        fns = build_rce_fns(c, **build_kwargs)
+        if _cache is not None:
+            _cache["key"] = repr(sorted(build_kwargs.items()))
+            _cache["fns"] = fns
     P_i_surf_b = jnp.asarray(P_i_surf_b)
     B = P_i_surf_b.shape[0]
     T_surf_guess_b = jnp.broadcast_to(jnp.asarray(T_surf_guess_b), (B,))
@@ -1206,7 +1231,13 @@ def batched_rce(c, P_i_surf_b, T_surf_guess_b, T_guess_b,
         if use_df and jax.default_backend() == "cpu"
         else None
     )
-    fn = jax.jit(jax.vmap(fns["rce"]), compiler_options=opts)
+    if _cache is not None and "fn" in _cache:
+        fn = _cache["fn"]
+    else:
+        fn = jax.jit(jax.vmap(fns["rce"]), compiler_options=opts)
+        if _cache is not None:
+            _cache["fn"] = fn
+    sh = sh2 = None
     if mesh is not None:
         sh = NamedSharding(mesh, P("columns"))
         sh2 = NamedSharding(mesh, P("columns", None))
@@ -1214,4 +1245,43 @@ def batched_rce(c, P_i_surf_b, T_surf_guess_b, T_guess_b,
         conv0_b = jax.device_put(conv0_b, sh2)
         use_guess_b = jax.device_put(use_guess_b, sh)
         P_i_surf_b = jax.device_put(P_i_surf_b, sh2)
-    return fn(x0_b, conv0_b, use_guess_b, P_i_surf_b)
+    if chunk_iters is None:
+        return fn(x0_b, conv0_b, use_guess_b, P_i_surf_b)
+
+    rc_acc = np.zeros(B, np.int64)
+    sv_acc = np.zeros(B, np.int64)
+    prev_best = np.full(B, np.inf)
+    stalls = 0
+    out = None
+    for _ in range(max_chunks):
+        out = fn(x0_b, conv0_b, use_guess_b, P_i_surf_b)
+        conv_h = np.asarray(out["converged"])  # host sync bounds dispatch time
+        rc_acc += np.asarray(out["rc_iters"])
+        sv_acc += np.asarray(out["solve_iters"])
+        best = np.asarray(out["ratio_best"], np.float64)
+        if conv_h.all():
+            break
+        # stop only after TWO consecutive chunks in which no unconverged
+        # lane improved (e.g. all stalled at the precision floor): a single
+        # flat chunk can just be a Newton attempt that needs its seed
+        # ladder, which the next warm restart re-enters
+        improving = (~conv_h) & (best < 0.99 * prev_best)
+        stalls = 0 if improving.any() or not np.isfinite(prev_best).all() \
+            else stalls + 1
+        if stalls >= 2:
+            break
+        prev_best = np.minimum(prev_best, best)
+        x0_b = jnp.concatenate(
+            [jnp.asarray(out["T_surf"])[:, None], jnp.asarray(out["T"])],
+            axis=1,
+        )
+        conv0_b = jnp.asarray(out["convecting_with_below"])
+        use_guess_b = jnp.ones(B, bool)
+        if mesh is not None:
+            x0_b = jax.device_put(x0_b, sh2)
+            conv0_b = jax.device_put(conv0_b, sh2)
+            use_guess_b = jax.device_put(use_guess_b, sh)
+    out = dict(out)
+    out["rc_iters"] = jnp.asarray(rc_acc)
+    out["solve_iters"] = jnp.asarray(sv_acc)
+    return out
