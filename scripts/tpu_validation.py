@@ -33,13 +33,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _model(nz, xtol_rc=None):
+def _model(nz, xtol_rc=None, particles=False):
     from clima_tpu.data import make_template_dir
     from clima_tpu.adiabat import AdiabatClimate
 
-    root = os.path.join(REPO, ".graft_assets", f"tpl_tpuval_nz{nz}")
+    tag = f"tpl_tpuval_nz{nz}" + ("_part" if particles else "")
+    root = os.path.join(REPO, ".graft_assets", tag)
     if not os.path.exists(os.path.join(root, "settings.yaml")):
-        make_template_dir(root, nz=nz, n_zenith=1)
+        make_template_dir(root, nz=nz, n_zenith=1, particles=particles)
     c = AdiabatClimate(
         os.path.join(root, "species.yaml"), os.path.join(root, "settings.yaml"),
         os.path.join(root, "star.txt"), os.path.join(root, "data"),
@@ -47,7 +48,18 @@ def _model(nz, xtol_rc=None):
     c.verbose = False
     if xtol_rc is not None:
         c.xtol_rc = xtol_rc
+    if particles:
+        _set_haze(c)
     return c
+
+
+def _set_haze(c):
+    """Prescribed optically-active haze (test_adiabat.f90:216-230 pattern:
+    particle setter feeding RCE) — identical on host and device runs."""
+    np_ = len(c.particle_names)
+    P_nodes = np.geomspace(2.0e6, 1.0, 8)
+    c.set_particle_density_and_radii(
+        P_nodes, np.full((8, np_), 5.0e3), np.full((8, np_), 1.0e-5))
 
 
 def _p_col(c):
@@ -58,13 +70,13 @@ def _p_col(c):
     return P_i
 
 
-def cpu_ref_main(nz, outfile):
+def cpu_ref_main(nz, outfile, particles=False):
     """f64 CPU host-solver reference (runs in a JAX_PLATFORMS=cpu subprocess)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    c = _model(nz)
+    c = _model(nz, particles=particles)
     P_i = _p_col(c)
     T_s_guess = c.surface_temperature(P_i, T_guess=280.0)
     T_seed = c.T.copy()
@@ -157,17 +169,23 @@ def main():
     ap.add_argument("--nz", type=int, default=12)
     ap.add_argument("--xtol-rc", type=float, default=1.0e-5)
     ap.add_argument("--cpu-ref", default=None, help="internal: write cpu ref")
+    ap.add_argument("--particles", action="store_true",
+                    help="internal: haze-on cpu ref (with --cpu-ref)")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--chunk-iters", type=int, default=None,
+                    help="split each device solve into warm-restarted "
+                         "sub-dispatches (axon relay dies past ~10 min/dispatch)")
     ap.add_argument("--only", default=None,
                     choices=["device_rce_strict", "device_rce_f32floor",
-                             "device_rce_df64_strict"],
+                             "device_rce_df64_strict",
+                             "device_rce_df64_particles"],
                     help="run a single device_rce_* entry and merge it into "
                          "an existing --out artifact (e.g. "
                          "--only device_rce_df64_strict --skip-parity)")
     args = ap.parse_args()
 
     if args.cpu_ref:
-        cpu_ref_main(args.nz, args.cpu_ref)
+        cpu_ref_main(args.nz, args.cpu_ref, particles=args.particles)
         return
 
     import jax
@@ -191,20 +209,28 @@ def main():
     if not args.skip_parity:
         pallas_parity(result)
 
-    # 2. f64 CPU host reference in a subprocess
-    ref_file = os.path.join(REPO, ".graft_assets", f"cpuref_nz{args.nz}.json")
-    if not os.path.exists(ref_file):
-        env = {k: v for k, v in os.environ.items()}
-        env["JAX_PLATFORMS"] = "cpu"
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-ref", ref_file,
-             "--nz", str(args.nz)],
-            check=True, env=env, cwd=REPO,
-        )
-    ref = json.load(open(ref_file))
+    # 2. f64 CPU host references in subprocesses (clear-sky + haze-on)
+    def _get_ref(particles):
+        tag = f"cpuref_nz{args.nz}" + ("_part" if particles else "")
+        ref_file = os.path.join(REPO, ".graft_assets", tag + ".json")
+        if not os.path.exists(ref_file):
+            env = {k: v for k, v in os.environ.items()}
+            env["JAX_PLATFORMS"] = "cpu"
+            cmd = [sys.executable, os.path.abspath(__file__), "--cpu-ref",
+                   ref_file, "--nz", str(args.nz)]
+            if particles:
+                cmd.append("--particles")
+            subprocess.run(cmd, check=True, env=env, cwd=REPO)
+        return json.load(open(ref_file))
+
+    def _flush():
+        json.dump(result, open(args.out, "w"), indent=1)
+
+    ref = _get_ref(False)
     result["cpu_f64"] = dict(
         T_surf=ref["T_surf"], converged=ref["converged"], wall_s=ref["wall_s"]
     )
+    _flush()
 
     # 3. device RCE on this backend, seeded identically to the reference run.
     # Three configurations: plain f32 at the reference xtol_rc=1e-5 is
@@ -218,14 +244,25 @@ def main():
     from clima_tpu.adiabat.rce_device import batched_rce
 
     P_i = None
-    for key, xtol, fprec in (
-        ("device_rce_strict", args.xtol_rc, "standard"),
-        ("device_rce_f32floor", 1.0e-2, "standard"),
-        ("device_rce_df64_strict", args.xtol_rc, "df64"),
+    for key, xtol, fprec, particles in (
+        ("device_rce_strict", args.xtol_rc, "standard", False),
+        ("device_rce_f32floor", 1.0e-2, "standard", False),
+        ("device_rce_df64_strict", args.xtol_rc, "df64", False),
+        ("device_rce_df64_particles", args.xtol_rc, "df64", True),
     ):
         if args.only and key != args.only:
             continue
-        c = _model(args.nz, xtol_rc=xtol)
+        # each entry is fault-isolated and the artifact is flushed after
+        # every entry: a late failure (e.g. the haze column's CPU ref not
+        # converging) must not lose hours of earlier device results
+        try:
+            c = _model(args.nz, xtol_rc=xtol, particles=particles)
+            ref = _get_ref(particles)
+        except Exception as e:  # noqa: BLE001
+            result[key] = dict(error=f"{type(e).__name__}: {e}")
+            print(f"{key}: FAILED ({e})", flush=True)
+            _flush()
+            continue
         if P_i is None:
             P_i = _p_col(c)
         # heterogeneous batch (VERDICT r3 weak 7): lane 0 is the CPU-ref
@@ -239,9 +276,16 @@ def main():
         T_seed[1] += 2.0
 
         t0 = time.perf_counter()
-        out = batched_rce(c, P_b, T_s, T_seed, record_trace=True,
-                          flux_precision=fprec)
-        T_surf_dev = np.asarray(out["T_surf"])  # round-trip sync
+        try:
+            out = batched_rce(c, P_b, T_s, T_seed, record_trace=True,
+                              flux_precision=fprec,
+                              chunk_iters=args.chunk_iters)
+            T_surf_dev = np.asarray(out["T_surf"])  # round-trip sync
+        except Exception as e:  # noqa: BLE001
+            result[key] = dict(error=f"{type(e).__name__}: {e}")
+            print(f"{key}: FAILED ({e})", flush=True)
+            _flush()
+            continue
         wall = time.perf_counter() - t0
         trace = np.asarray(out["ratio_trace"])[0]
         trace = trace[np.isfinite(trace)]
@@ -250,6 +294,7 @@ def main():
             platform=platform, nz=args.nz, x64=x64,
             dtype="float64" if jax.config.jax_enable_x64 else "float32",
             flux_precision=fprec,
+            particles=particles,
             xtol_rc=xtol,
             converged=[bool(b) for b in np.asarray(out["converged"])],
             status=[int(v) for v in np.asarray(out["status"])],
@@ -275,6 +320,10 @@ def main():
                 mask_equal=bool((mask_dev == np.asarray(ref["mask"])).all()),
             ),
         )
+        print(f"{key}: dT_surf={result[key]['vs_cpu_f64']['dT_surf_K']:+.4f} K "
+              f"converged={result[key]['converged']} wall={wall:.1f}s",
+              flush=True)
+        _flush()
 
     json.dump(result, open(args.out, "w"), indent=1)
     show = args.only or "device_rce_f32floor"
