@@ -64,35 +64,41 @@ def _mix_one_rank(a, b, wxy_col, wbin_e_c, nbin):
     keys = A + B
     w = jnp.broadcast_to(wxy_col, (npair, L))
 
-    # Rank via ONE integer compare per (k, p): optical-depth keys are
-    # non-negative finite floats, for which the bit pattern (as a signed
-    # int) is order-isomorphic to the float value. The stable-sort
-    # tie-break
+    # Rank via ONE integer compare per (k, p) instead of the 3-compare float
+    # tie-break: optical-depth keys are non-negative finite floats, for which
+    # the bit pattern (as a signed int) is order-isomorphic to the float
+    # value, and the stable-sort tie-break
     #     [key_k < key_p] | ([key_k == key_p] & [k < p])
-    # is folded INTO the integer keys once: ikey_b = ikey + row_index makes
-    # every key distinct while preserving the order of keys >= npair ulps
-    # apart, so the per-(k, p) test is a single unbiased compare
-    # [ikey_b_k < ikey_b_p] — 3 tile-ops per iteration instead of 4 (the
-    # per-iteration biased-target select of the previous variant is gone;
-    # measured 32.9 -> 30.5 -> 26 ms for the 3-species flagship chain).
-    # Exact ties land on the index order (matching the reference's stable
-    # mrgrnk); keys within npair ulps of each other may swap windows, which
-    # changes the rebinned spectrum by < npair ulps relative (~5e-6 in f32)
-    # — the same scale as the kernel's existing f32 deviation from the
-    # XLA sort path, and exactly zero effect on exact ties (any injective
-    # assignment of distinct windows to tied keys rebins identically).
+    # is exactly [ikey_k < ikey_p + (p > k)] in integer arithmetic (the +1
+    # turns '<' into '<=' for the rows that win ties by index). The per-k
+    # select target is cheap: (sub_col > k) is a compile-time-constant mask
+    # (static iota vs static k). Measured on v5e at the flagship batch:
+    # 32.9 -> 30.5 ms for the 3-species chain.
+    #
+    # DO NOT fold the tie-break into the keys as ikey_b = ikey + row_index
+    # with an unbiased compare (the r5 "26 ms" variant): the bias is not
+    # injective — two keys whose bit patterns differ by less than npair can
+    # COLLIDE after biasing (ikey_i + i == ikey_j + j), giving both pairs
+    # the same rank window. Overlapping windows double-count one stretch of
+    # cumulative weight and leave another uncovered, an O(pair-weight)
+    # error in the rebinned spectrum, NOT an ulp-scale one: measured
+    # rorr_maxrel 0.118 on the TPU parity sweep (~29 expected collisions at
+    # those shapes) vs 5e-6 for this exact variant (TPU_VALIDATION_r04).
+    # tests/test_pallas_rorr.py::test_rank_mix_near_tie_collision pins the
+    # adversarial case.
     # A sublane-rotation variant (compare against circularly rolled rows to
     # avoid the per-k row broadcast) measured WORSE (34.1 ms): Mosaic
     # sublane rolls/concats cost more than the row broadcast they replace.
     idt = jnp.int32 if keys.dtype == jnp.float32 else jnp.int64
     ikeys = jax.lax.bitcast_convert_type(keys, idt)
-    ikeys_b = ikeys + jnp.broadcast_to(sub_col, (npair, L)).astype(idt)
+    ikeys_p1 = ikeys + 1
     zero = jnp.zeros((), a.dtype)
     lower = jnp.zeros((npair, L), dtype=a.dtype)
     for k in range(npair):
-        ikk = ikeys_b[k : k + 1, :]
+        ikk = ikeys[k : k + 1, :]
         wk = wxy_col[k, 0]
-        lower = lower + jnp.where(ikk < ikeys_b, wk, zero)
+        tgt = jnp.where(sub_col > k, ikeys_p1, ikeys)
+        lower = lower + jnp.where(ikk < tgt, wk, zero)
     upper = lower + w
 
     cols = []

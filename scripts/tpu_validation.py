@@ -172,6 +172,9 @@ def main():
     ap.add_argument("--particles", action="store_true",
                     help="internal: haze-on cpu ref (with --cpu-ref)")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--only-parity", action="store_true",
+                    help="re-run just the Pallas parity sweep and merge it "
+                         "into an existing --out artifact")
     ap.add_argument("--chunk-iters", type=int, default=None,
                     help="split each device solve into warm-restarted "
                          "sub-dispatches (axon relay dies past ~10 min/dispatch)")
@@ -192,7 +195,7 @@ def main():
 
     platform = jax.devices()[0].platform
     x64 = bool(jax.config.jax_enable_x64)
-    if args.only and os.path.exists(args.out):
+    if (args.only or args.only_parity) and os.path.exists(args.out):
         # merge mode: keep existing entries untouched; each device_rce_*
         # entry carries its own platform/nz/x64 so a merge under a different
         # config cannot mislabel older entries (advisor r3 finding)
@@ -208,6 +211,10 @@ def main():
     # 1. Pallas parity (real lowering on this backend)
     if not args.skip_parity:
         pallas_parity(result)
+    if args.only_parity:
+        json.dump(result, open(args.out, "w"), indent=1)
+        print(f"wrote {args.out} (parity only)")
+        return
 
     # 2. f64 CPU host references in subprocesses (clear-sky + haze-on)
     def _get_ref(particles):

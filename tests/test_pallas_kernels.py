@@ -144,6 +144,47 @@ def test_rorr_kernel_matches_sort_path(interpret):
     np.testing.assert_allclose(got, ref, rtol=1e-9)
 
 
+def test_rank_mix_near_tie_collision():
+    """f32 multi-species chain at the TPU-validation shapes: stage-2 keys
+    are sums of already-REBINNED values, which cluster and produce
+    near-ties within npair ulps of each other. Regression for the r5
+    additive tie-break fold (ikey_b = ikey + row_index with an unbiased
+    compare): the bias is not injective, biased-key collisions handed two
+    pairs the same rank window (double-covered stretch + gap in the
+    cumulative-weight partition), and a large key straddling a master-bin
+    edge mis-binned by O(pair weight) — measured rorr_maxrel 0.118 on the
+    TPU parity sweep / 0.087 on this CPU reproduction, vs ~5e-6 for the
+    exact stable rank shipped here."""
+    from clima_tpu.ops.pallas_rorr import _pair_weights
+    from clima_tpu.ops.rorr import k_rorr_mix
+
+    rng = np.random.default_rng(1)
+    nk, nw, nzc, nbin = 3, 64, 202, 8
+    w = np.polynomial.legendre.leggauss(nbin)[1]
+    wbin = (w / 2.0).astype(np.float64)
+    wbin_e = np.concatenate([[0.0], np.cumsum(wbin)])
+    wbin_e[-1] = 1.0
+    wxy = _pair_weights(wbin)
+    tau_ks = jnp.asarray(10.0 ** rng.uniform(-6, 2, (nk, nw, nzc, nbin)),
+                         jnp.float32)
+    mix_x = np.asarray(
+        jax.jit(lambda t: k_rorr_mix(t, jnp.asarray(wbin_e)))(tau_ks),
+        np.float64,
+    )
+    rows = tau_ks.reshape(nk, nw * nzc, nbin)
+
+    @jax.jit
+    def chain(rows):
+        mixed = rows[0]
+        for k in range(1, nk):
+            mixed = mix_pair_rank_ref(mixed, rows[k], wxy, wbin_e)
+        return mixed
+
+    mix_r = np.asarray(chain(rows), np.float64).reshape(nw, nzc, nbin)
+    maxrel = np.abs(mix_r - mix_x).max() / np.abs(mix_x).max()
+    assert maxrel < 1e-4, f"rank chain deviates from sort path: {maxrel:.3e}"
+
+
 def test_rank_ref_tie_handling():
     """Equal keys must get distinct rank windows (no weight duplication)."""
     R = 16
