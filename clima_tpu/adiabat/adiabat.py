@@ -518,6 +518,8 @@ class AdiabatClimate:
         # integrates to rtol=1e-9; clima_adiabat.f90:882-961).
         P_guess0 = self.make_column_P_guess.copy()
 
+        scale_box = [1.0]
+
         def fcn(x):
             self.make_column_P_guess = P_guess0.copy()
             T = 10.0 ** x[0]
@@ -529,6 +531,7 @@ class AdiabatClimate:
                 err_box[0] = str(e)
                 return np.full(len(x), 1e30)
             err_box[0] = None
+            scale_box[0] = max(abs(float(ISR)), abs(float(OLR)), 1.0)
             rad_enhancement = 1.0
             if self.tidally_locked_dayside:
                 tau_LW, k_term, f_term = self.heat_redistribution_parameters()
@@ -561,7 +564,23 @@ class AdiabatClimate:
             if err_box[0] is not None:
                 msg += " " + err_box[0]
             raise ClimaException(msg)
-        fcn(x)
+        res = fcn(x)
+        # MINPACK's xtol test reports success when the ITERATES stop moving,
+        # which a residual that is flat in T_surf satisfies at the initial
+        # guess with the equation nowhere near solved (observed with an
+        # IR-opaque haze: ISR-OLR constant at ~0.8*ISR for any T_surf, and
+        # hybrd "converged" on the unmodified guess). Require the residual
+        # itself to be small relative to the flux scale before trusting it.
+        if np.max(np.abs(res)) > 1.0e-2 * scale_box[0]:
+            raise ClimaException(
+                "surface_temperature root solve stalled: the TOA energy "
+                f"imbalance at the returned point ({float(res[0]):.6g} "
+                f"mW/m^2) is not small against the flux scale "
+                f"({scale_box[0]:.6g} mW/m^2). The residual is likely flat "
+                "in T_surf (e.g. an atmosphere opaque enough that TOA "
+                "fluxes decouple from the surface); no radiative-equilibrium "
+                "surface temperature exists to find."
+            )
         return 10.0 ** x[0]
 
     def surface_temperature(self, P_i_surf, T_guess=280.0):

@@ -130,7 +130,7 @@ def _acc_dtype():
 
 def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600,
                   max_line_search=8, record_trace=False, flux_precision="auto",
-                  verbose=False):
+                  verbose=False, jac_chunk=None):
     """Build the pure single-column RCE functions from an AdiabatClimate.
 
     All configuration (tolerances, hysteresis knobs, strategy, opacity data)
@@ -153,6 +153,16 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
     recovers the reference tolerance xtol_rc = 1e-5 on TPUs without float64
     hardware at ~2-4x the RT cost. ``"auto"`` (default) picks df64 exactly
     when x64 is disabled.
+
+    ``jac_chunk`` bounds how many of the n+1 FD Jacobian evaluations (one
+    frozen-opacity IR radiate each) are materialized CONCURRENTLY per
+    column: None (default) vmaps all n+1 at once — fastest when it fits —
+    while an integer m runs them as a ``lax.map`` scan over ceil((n+1)/m)
+    groups of m. Memory for the Jacobian stage scales with B * m instead
+    of B * (n+1); at large column batches the batch axis already saturates
+    the chip, so serializing FD rows costs little wall time (the df64
+    two-stream is an XLA graph whose intermediates live in HBM — at nz=50
+    the un-chunked Jacobian OOM-crashed the TPU worker for B >= 8).
 
     Returns a dict of functions; the main entry is
     ``rce(x0, conv0, use_guess, P_i_surf) -> result dict``.
@@ -570,7 +580,23 @@ def build_rce_fns(c, max_newton_iters=40, max_ptc_steps=300, max_total_iters=600
             _, dTdt_p = residuals(xm, conv, f_total, aux["f_c"], aux["P_c"], aux["dz"])
             return dTdt_p
 
-        dTdt_all = jax.vmap(one)(T_all[:, 0], T_all[:, 1:])  # (n+1, n)
+        if jac_chunk is None or jac_chunk >= n + 1:
+            dTdt_all = jax.vmap(one)(T_all[:, 0], T_all[:, 1:])  # (n+1, n)
+        else:
+            # scan over groups of jac_chunk FD evaluations: bounds peak
+            # memory at m concurrent IR radiates per column (see docstring).
+            # Pad with repeats of the base row; padded results are dropped.
+            m = int(jac_chunk)
+            ngroups = -(-(n + 1) // m)
+            pad = ngroups * m - (n + 1)
+            T_pad = jnp.concatenate(
+                [T_all, jnp.broadcast_to(T_all[:1], (pad, n))], axis=0
+            ) if pad else T_all
+            groups = T_pad.reshape(ngroups, m, n)
+            dTdt_groups = jax.lax.map(
+                lambda g: jax.vmap(one)(g[:, 0], g[:, 1:]), groups
+            )
+            dTdt_all = dTdt_groups.reshape(ngroups * m, n)[: n + 1]
         cols = (dTdt_all[1:] - dTdt_all[:1]) / deltas[:, None]
         J = cols.T  # J[:, j] = d dTdt / d x_j
         # slaved columns -> identity (the embedded reduced system)

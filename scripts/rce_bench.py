@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--xtol", type=float, default=1.0e-5)
     ap.add_argument("--precision", default="df64",
                     choices=["df64", "standard", "auto"])
+    ap.add_argument("--jac-budget", type=int, default=96,
+                    help="target B * jac_chunk: bounds concurrent FD "
+                         "Jacobian radiates (B=2 at nz=50 ran 102 "
+                         "concurrent fine; un-chunked B=8 OOM-crashed the "
+                         "TPU worker)")
     ap.add_argument("--chunk-iters", type=int, default=12,
                     help="inner iterations per device dispatch: the axon "
                          "relay's TPU worker dies on single dispatches "
@@ -80,10 +85,12 @@ def main():
         T_s = rng.uniform(275.0, 295.0, B)
         T_seed = np.linspace(285.0, 200.0, c.nz)[None, :] * np.ones((B, 1))
 
+        jac_chunk = max(1, args.jac_budget // B)
         cache = {}
         t0 = time.perf_counter()
         out = batched_rce(c, P_b, T_s, T_seed, flux_precision=args.precision,
-                          chunk_iters=args.chunk_iters, _cache=cache)
+                          chunk_iters=args.chunk_iters, jac_chunk=jac_chunk,
+                          _cache=cache)
         conv = np.asarray(out["converged"])  # device_get = relay-safe sync
         wall_total = time.perf_counter() - t0
 
@@ -93,7 +100,8 @@ def main():
         t0 = time.perf_counter()
         out2 = batched_rce(c, P_b * (1.0 + 1e-4), T_s2, T_seed,
                            flux_precision=args.precision,
-                           chunk_iters=args.chunk_iters, _cache=cache)
+                           chunk_iters=args.chunk_iters, jac_chunk=jac_chunk,
+                           _cache=cache)
         conv2 = np.asarray(out2["converged"])
         wall_exec = time.perf_counter() - t0
 

@@ -55,11 +55,18 @@ def _model(nz, xtol_rc=None, particles=False):
 
 def _set_haze(c):
     """Prescribed optically-active haze (test_adiabat.f90:216-230 pattern:
-    particle setter feeding RCE) — identical on host and device runs."""
+    particle setter feeding RCE) — identical on host and device runs.
+
+    Density 10 cm^-3: optically significant (shifts the equilibrium T_surf
+    by ~4 K) but well-conditioned. The synthetic khare1984 haze is strongly
+    absorbing: at 1e2 cm^-3 its greenhouse outruns ISR inside the valid
+    temperature range (no radiative equilibrium exists), and at 5e3 the TOA
+    fluxes decouple from T_surf entirely (ISR-OLR constant at ~0.8*ISR) —
+    solver stress cases, not parity checks."""
     np_ = len(c.particle_names)
     P_nodes = np.geomspace(2.0e6, 1.0, 8)
     c.set_particle_density_and_radii(
-        P_nodes, np.full((8, np_), 5.0e3), np.full((8, np_), 1.0e-5))
+        P_nodes, np.full((8, np_), 1.0e1), np.full((8, np_), 1.0e-5))
 
 
 def _p_col(c):

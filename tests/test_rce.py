@@ -184,10 +184,36 @@ def test_rce_with_particles(c_part):
     assert c.RCE(P_i, Ts0, c.T)
     T_surf_clear = float(c.T_surf)
 
-    # optically active haze aloft
+    # optically active haze aloft (10 cm^-3 shifts the equilibrium by ~4 K;
+    # the synthetic khare1984 haze is strongly absorbing: at 1e2 cm^-3 the
+    # greenhouse outruns ISR inside the valid temperature range (no
+    # radiative equilibrium to find), and at 5e3 the TOA fluxes decouple
+    # from T_surf entirely — see
+    # test_surface_temperature_flat_residual_raises)
     c.set_particle_density_and_radii(
-        P_nodes, np.full((8, np_), 5.0e3), np.full((8, np_), 1.0e-5))
+        P_nodes, np.full((8, np_), 1.0e1), np.full((8, np_), 1.0e-5))
     Ts1 = c.surface_temperature(P_i, T_guess=T_surf_clear)
     assert c.RCE(P_i, Ts1, c.T)
     assert np.isfinite(c.T_surf) and np.all(np.isfinite(c.T))
     assert abs(float(c.T_surf) - T_surf_clear) > 1.0e-3  # haze has an effect
+
+
+def test_surface_temperature_flat_residual_raises(c_part):
+    """An IR-opaque haze decouples both TOA fluxes from T_surf: the energy-
+    balance residual is constant (~0.8*ISR) and MINPACK's xtol test
+    'converges' on the unmodified guess. The solver must refuse that
+    non-answer loudly instead of returning the guess (caught live in the r5
+    nz=50 TPU validation: surface_temperature returned exactly T_guess)."""
+    from clima_tpu.utils.errors import ClimaException
+
+    c = c_part
+    P_i = P_i_earth(c)
+    np_ = len(c.particle_names)
+    P_nodes = np.geomspace(2.0e6, 1.0, 8)
+    c.set_particle_density_and_radii(
+        P_nodes, np.full((8, np_), 5.0e3), np.full((8, np_), 1.0e-5))
+    with pytest.raises(ClimaException, match="flat|not small"):
+        c.surface_temperature(P_i, T_guess=280.0)
+    # restore the fixture's particle-free state for other tests
+    c.set_particle_density_and_radii(
+        P_nodes, np.zeros((8, np_)), np.full((8, np_), 1.0e-5))

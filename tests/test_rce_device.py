@@ -125,6 +125,31 @@ def test_jacobian_matches_host(c):
         np.testing.assert_allclose(J_dev[:, j], e)
 
 
+@pytest.mark.parametrize("jac_chunk", [1, 7, 64])
+def test_jacobian_chunked_equals_full(c, jac_chunk):
+    """lax.map-chunked FD Jacobian == the all-at-once vmap up to the FD
+    summation-noise floor (batch tiling changes XLA reduction order;
+    quotients amplify the ~1e-11 residual noise by 1/delta — same floor
+    as test_jacobian_matches_host). The chunk path bounds Jacobian memory
+    to B*jac_chunk concurrent radiates (the un-chunked df64 nz=50 Jacobian
+    OOM-crashed the TPU worker at B>=8); chunk sizes cover scan-only (1),
+    padded-tail (7 with n+1=21) and the >= n+1 passthrough (64)."""
+    nz = c.nz
+    conv = np.zeros(nz, dtype=bool)
+    conv[4:7] = True
+    P_i = P_i_earth(c)
+    T_in = np.linspace(285.0, 205.0, nz + 1)
+
+    fns = build_rce_fns(c)
+    xm, _, dTdt_d, aux = fns["objective"](
+        jnp.asarray(T_in), jnp.asarray(conv), jnp.asarray(P_i)
+    )
+    J_full = np.asarray(fns["jacobian"](xm, jnp.asarray(conv), aux, dTdt_d))
+    fns_c = build_rce_fns(c, jac_chunk=jac_chunk)
+    J_chunk = np.asarray(fns_c["jacobian"](xm, jnp.asarray(conv), aux, dTdt_d))
+    np.testing.assert_allclose(J_chunk, J_full, rtol=2e-5, atol=2e-11)
+
+
 def test_limiter_matches_host(c):
     """Vectorized mask limiter == host _apply_mask_limiter across cases."""
     rng = np.random.default_rng(42)
@@ -233,6 +258,47 @@ def test_failed_rce_is_loud_about_precision_floor(c):
     resid = np.asarray(out["residual_dFdt"])[0]
     assert resid.shape == (c.nz + 1,)
     assert np.isfinite(resid).all()
+
+
+@pytest.mark.slow
+def test_batched_rce_with_particles_matches_host():
+    """Device RCE with a prescribed haze equals the host solver (the
+    device-side particle interpolation + Mie opacity chain,
+    rce_device.py pdens/pradii plumbing, had no host-equality coverage:
+    the r5 nz=50 TPU validation was the first exercise of it). 10 cm^-3
+    keeps the column well-conditioned — see test_rce.py's flat-residual
+    test for the opaque-haze failure mode."""
+    import tempfile
+
+    t = make_template_dir(tempfile.mkdtemp(), nz=12, n_zenith=1,
+                          particles=True)
+    c = AdiabatClimate(t["species"], t["settings"], t["star"], t["datadir"])
+    c.verbose = False
+    np_ = len(c.particle_names)
+    P_nodes = np.geomspace(2.0e6, 1.0, 8)
+    c.set_particle_density_and_radii(
+        P_nodes, np.full((8, np_), 1.0e1), np.full((8, np_), 1.0e-5))
+    P_i = np.full(c.sp.ng, 1.0e-15)
+    P_i[c.species_names.index("H2O")] = 270.0e6
+    P_i[c.species_names.index("CO2")] = 400.0
+    P_i[c.species_names.index("N2")] = 1.0e6
+
+    T_surf0 = c.surface_temperature(P_i, T_guess=280.0)
+    T_guess = c.T.copy()
+    assert c.RCE(P_i, T_surf0, T_guess)
+    T_surf_host = float(c.T_surf)
+    T_host = c.T.copy()
+    conv_host = c.convecting_with_below.copy()
+
+    out = batched_rce(c, P_i[None, :], np.array([T_surf0]),
+                      T_guess[None, :])
+    assert bool(np.asarray(out["converged"])[0])
+    assert int(np.asarray(out["status"])[0]) == 0
+    # measured on CPU f64: dT_surf 0.0013 K, dT_max 0.0017 K
+    assert abs(float(out["T_surf"][0]) - T_surf_host) < 0.1
+    np.testing.assert_allclose(np.asarray(out["T"][0]), T_host, atol=0.1)
+    assert np.array_equal(np.asarray(out["convecting_with_below"][0]),
+                          conv_host)
 
 
 # ----------------------------------------------------------------------
