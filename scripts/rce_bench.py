@@ -77,13 +77,31 @@ def main():
     iCO2 = c.species_names.index("CO2")
     iN2 = c.species_names.index("N2")
 
+    # Seeding follows the reference workflow (test_adiabat.f90:163-252:
+    # surface_temperature THEN RCE): every lane warm-starts from ONE
+    # converged nearby column — the 400 ppm CO2 solution of the nz=50 TPU
+    # validation run — with per-lane CO2 spread (100..6400 ppm shifts the
+    # equilibrium by ~+-10 K) and jittered T_surf guesses. Cold generic
+    # seeds (uniform 275-295 K + a linspace profile) sit outside the
+    # solver's basin at nz=50 (all lanes stalled at max|F/F0| ~ 0.04,
+    # first r5 attempt) — the host solver is never run that way either.
+    ref_file = os.path.join(REPO, ".graft_assets", f"cpuref_nz{args.nz}.json")
+    if os.path.exists(ref_file):
+        ref = json.load(open(ref_file))
+        T_surf_ref, T_ref = float(ref["T_surf"]), np.asarray(ref["T"])
+    else:  # fall back to a host surface_temperature solve for one column
+        P_ref = np.full(c.sp.ng, 1.0e-15)
+        P_ref[iH2O], P_ref[iCO2], P_ref[iN2] = 270.0e6, 400.0, 1.0e6
+        T_surf_ref = c.surface_temperature(P_ref, T_guess=280.0)
+        T_ref = c.T.copy()
+
     for B in args.sizes:
         P_b = np.full((B, c.sp.ng), 1.0e-15)
         P_b[:, iH2O] = 270.0e6
         P_b[:, iCO2] = 1.0e6 * np.geomspace(100e-6, 6400e-6, B)
         P_b[:, iN2] = 1.0e6
-        T_s = rng.uniform(275.0, 295.0, B)
-        T_seed = np.linspace(285.0, 200.0, c.nz)[None, :] * np.ones((B, 1))
+        T_s = T_surf_ref + rng.uniform(-2.0, 2.0, B)
+        T_seed = T_ref[None, :] + rng.uniform(-1.0, 1.0, (B, 1))
 
         jac_chunk = max(1, args.jac_budget // B)
         cache = {}
